@@ -1,0 +1,132 @@
+"""Semantic correspondence ops: Rselfcorr, corrm, warp.
+
+These are the heart of PPST (reference models/ppst_model.py:330-387): a
+dense attention between content and style feature grids at 1/8 resolution,
+used to warp style statistics onto the content layout.
+
+All tensors are NHWC. The correspondence matrix ``corr`` has shape
+(B, L, L) with L = H*W of the feature grid (4096 for 512px inputs);
+``corr[b, i, :]`` is a softmax over source positions for target position i.
+
+TPU notes: corrm is two (L, C)x(C, L) matmuls plus a softmax over L^2
+entries — pure MXU work that XLA tiles well when materialized. For the
+high-resolution regime where the L^2 matrix stops fitting, see
+``ppst_tpu.ops.corr_pallas`` (blockwise flash-style softmax-matmul).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# The reference adds sys.float_info.epsilon to norms (ppst_model.py:333,357).
+_NORM_EPS = np.finfo(np.float64).eps
+
+
+def rselfcorr(fea, patch: int = 4):
+    """Patchwise self-correlation descriptor (reference ppst_model.py:330-339).
+
+    Splits ``fea`` (B, H, W, C) into non-overlapping ``patch x patch``
+    windows; within each window, the C-dim vector at every pixel is centered
+    and L2-normalized across channels, then the window's pixel-pixel cosine
+    similarity Gram matrix (patch^2 x patch^2) becomes the output channels.
+
+    Returns (B, H/patch, W/patch, patch^4); for the canonical 256x256/4
+    case: (B, 64, 64, 256).
+    """
+    b, h, w, c = fea.shape
+    ph, pw = h // patch, w // patch
+    e = patch * patch
+    # (B, ph, pw, e, C): windows with their pixels flattened.
+    v = fea.reshape(b, ph, patch, pw, patch, c)
+    v = v.transpose(0, 1, 3, 2, 4, 5).reshape(b, ph, pw, e, c)
+    v = v - v.mean(axis=-1, keepdims=True)
+    v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + _NORM_EPS)
+    gram = jnp.einsum("bpqec,bpqfc->bpqef", v, v)
+    return gram.reshape(b, ph, pw, e * e)
+
+
+def corrm(fea, fea0, temperature: float = 0.01, split: int = 256):
+    """Dense correspondence matrix (reference ppst_model.py:341-364).
+
+    ``fea``/``fea0`` are (B, H, W, C) feature grids whose first ``split``
+    channels (the generator feature branch) are mean-centered per position
+    while the remainder (the Rselfcorr descriptor) is left as-is; both are
+    then L2-normalized over channels.
+
+    Returns softmax over the *fea* positions:
+    corr[b, i, j] = softmax_j( <fea0_n[i], fea_n[j]> / temperature ),
+    shape (B, L, L) with L = H*W.
+    """
+
+    def _norm(x):
+        b, h, w, c = x.shape
+        x = x.reshape(b, h * w, c)
+        head, tail = x[..., :split], x[..., split:]
+        head = head - head.mean(axis=-1, keepdims=True)
+        x = jnp.concatenate([head, tail], axis=-1)
+        return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + _NORM_EPS)
+
+    q = _norm(fea0)  # target positions (rows)
+    k = _norm(fea)  # source positions (cols)
+    logits = jnp.einsum(
+        "bic,bjc->bij", q, k, preferred_element_type=jnp.float32
+    ) / temperature
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def warp(fea, corr):
+    """Attention-weighted resampling (reference ppst_model.py:366-387).
+
+    ``fea`` is (B, h, w, C); ``corr`` is (B, L, L). When h*w != L, each
+    image is treated as a grid of s x s blocks (s = sqrt(h*w/L)) that move
+    as units: the block grid is flattened, multiplied by ``corr``, and
+    reassembled (the reference's unfold/matmul/fold).
+    """
+    b, h, w, c = fea.shape
+    l = corr.shape[1]
+    if h * w != l:
+        s = int(round((h * w / l) ** 0.5))
+        assert s * s * l == h * w, (
+            f"warp: feature grid {h}x{w} incompatible with corr length {l}"
+        )
+        ph, pw = h // s, w // s
+        blocks = fea.reshape(b, ph, s, pw, s, c)
+        blocks = blocks.transpose(0, 1, 3, 2, 4, 5).reshape(b, ph * pw, s * s * c)
+        out = jnp.einsum("bij,bjd->bid", corr, blocks)
+        out = out.reshape(b, ph, pw, s, s, c).transpose(0, 1, 3, 2, 4, 5)
+        return out.reshape(b, h, w, c)
+    flat = fea.reshape(b, h * w, c)
+    out = jnp.einsum("bij,bjc->bic", corr, flat)
+    return out.reshape(b, h, w, c)
+
+
+def adaptive_avg_pool(x, out_hw):
+    """Average-pool NHWC ``x`` to ``out_hw`` (must divide evenly;
+    equivalent to torch adaptive_avg_pool2d in that case)."""
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    assert h % oh == 0 and w % ow == 0, f"adaptive pool {h}x{w} -> {oh}x{ow}"
+    x = x.reshape(b, oh, h // oh, ow, w // ow, c)
+    return x.mean(axis=(2, 4))
+
+
+def resize_bilinear(x, out_hw):
+    """Bilinear resize (half-pixel centers, matching torch
+    ``F.interpolate(mode='bilinear', align_corners=False)``)."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, out_hw[0], out_hw[1], c), method="linear")
+
+
+def warp_resize(fea, corr, scale_factor: int, grid: int = 64):
+    """E2's warp for scales above the correspondence grid
+    (reference encoder_col.py:100-131, resize=True branch): pool to the
+    64x64 grid, warp, then bilinear-upsample back by ``scale_factor``."""
+    b, h, w, c = fea.shape
+    assert h == w, "warp_resize: non-square inputs are not supported"
+    pooled = adaptive_avg_pool(fea, (grid, grid))
+    warped = warp(pooled, corr)
+    if scale_factor == 1:
+        return warped
+    return resize_bilinear(warped, (grid * scale_factor, grid * scale_factor))
