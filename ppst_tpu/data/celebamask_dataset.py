@@ -1,0 +1,58 @@
+"""CelebAMask-HQ paired image+mask dataset (reference
+data/CelebAMask_dataset.py): RGB image from ``dataroot``, aggregated
+3-class mask (0 bg / 1 face / 2 hair) from ``dataroot2``, one-hot to 3
+channels. Image and mask share one set of random transform decisions
+(fixing the reference's desynchronized flips, SURVEY.md 2.7)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+from PIL import Image
+
+from ppst_tpu.data.base_dataset import (
+    BaseDataset,
+    apply_transform,
+    sample_transform_params,
+    to_tensor,
+)
+from ppst_tpu.data.image_folder import make_dataset
+
+
+class CelebAMaskDataset(BaseDataset):
+    NUM_CLASSES = 3
+
+    def __init__(self, opt):
+        super().__init__(opt)
+        self.A_paths = sorted(make_dataset(opt.dataroot))
+        self.B_paths = sorted(make_dataset(opt.dataroot2))
+        assert len(self.A_paths) == len(self.B_paths), (
+            f"image/mask count mismatch: {len(self.A_paths)} vs {len(self.B_paths)}"
+        )
+        self.rng = random.Random(getattr(opt, "seed", 0))
+
+    def __len__(self):
+        return len(self.A_paths)
+
+    def __getitem__(self, index):
+        a_path = self.A_paths[index % len(self)]
+        b_path = self.B_paths[index % len(self)]
+        try:
+            img = Image.open(a_path).convert("RGB")
+            msk = Image.open(b_path).convert("L")
+        except OSError as err:
+            print(err)
+            return self[self.rng.randrange(len(self))]
+
+        params = sample_transform_params(self.opt, img.size, self.rng)
+        img = apply_transform(self.opt, img, params)
+        msk = apply_transform(self.opt, msk, params, method=Image.NEAREST)
+
+        a = to_tensor(img)  # (H,W,3) in [-1,1]
+        labels = np.asarray(msk)
+        one_hot = np.stack(
+            [(labels == i).astype(np.float32) for i in range(self.NUM_CLASSES)],
+            axis=-1,
+        )
+        return {"real_A": a, "mask_A": one_hot, "path_A": a_path}

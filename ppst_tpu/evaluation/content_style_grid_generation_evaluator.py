@@ -1,0 +1,85 @@
+"""Folder x folder content/style grid with guided-filter post-processing
+(reference evaluation/content_style_grid_generation_evaluator.py).
+
+Dataset items whose path contains "/content/" are structure images; all
+others are styles. Every (content, style) pair runs the full
+correspondence pipeline, decoded with ``target=`` so the photorealistic
+guided filter applies — here fused into the decode XLA program instead of
+the reference's per-image CPU OpenCV round trip."""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ppst_tpu.evaluation.base_evaluator import BaseEvaluator
+from ppst_tpu.util.html import HTML
+from ppst_tpu.util.util import tensor2im
+
+
+class ContentStyleGridGenerationEvaluator(BaseEvaluator):
+    """Generates swapping images and saves them to disk."""
+
+    def create_webpage(self, nsteps):
+        nsteps = self.opt.resume_iter if nsteps is None else nsteps
+        savedir = os.path.join(self.output_dir(), f"{self.target_phase}_{nsteps}")
+        os.makedirs(savedir, exist_ok=True)
+        title = f"{self.opt.name}. iter={nsteps}. phase={self.target_phase}"
+        self.webpage = HTML(savedir, title)
+
+    def add_to_webpage(self, images, filenames):
+        converted = [tensor2im(np.asarray(im))[0] for im in images]
+        self.webpage.add_images(converted, filenames)
+        print(f"saved {filenames}")
+
+    def evaluate(self, model, dataset, nsteps=None):
+        self.create_webpage(nsteps)
+
+        structure_images, style_images = {}, {}
+        for data_i in dataset:
+            for j in range(data_i["real_A"].shape[0]):
+                image = np.asarray(data_i["real_A"][j : j + 1])
+                path = data_i["path_A"][j]
+                name = os.path.splitext(os.path.basename(path))[0]
+                if "/content/" in path:
+                    structure_images[name] = image
+                else:
+                    style_images[name] = image
+
+        style_paths = list(style_images)
+        structure_paths = list(structure_images)
+        style_descs = {}
+        for sp_name in style_paths:
+            fea, fea1 = model.extract_feat_from_image(style_images[sp_name])
+            style_descs[sp_name] = jnp.concatenate(
+                [fea, model.rselfcorr(fea1)], axis=-1
+            )
+
+        blank = style_images[style_paths[0]] * 0.0 + 1.0
+        self.add_to_webpage(
+            [blank] + [style_images[p] for p in style_paths],
+            ["blank.png"] + [p + ".png" for p in style_paths],
+        )
+
+        for c_name in structure_paths:
+            structure_image = structure_images[c_name]
+            sp, _ = model.encode(structure_image)
+            fea, fea1 = model.extract_feat_from_image(structure_image)
+            desc_c = jnp.concatenate([fea, model.rselfcorr(fea1)], axis=-1)
+            swaps, filenames = [], []
+            for s_name in style_paths:
+                corr = model.corrm(style_descs[s_name], desc_c)
+                _, gl_w = model.encode2(
+                    style_images[s_name], corr,
+                    corr_out_hw=(desc_c.shape[1], desc_c.shape[2]),
+                )
+                out = model.decode(sp, gl_w, target=structure_image)
+                swaps.append(out)
+                filenames.append(f"{c_name}_{s_name}.png")
+            self.add_to_webpage(
+                [structure_image] + swaps, [c_name + ".png"] + filenames
+            )
+            self.webpage.save()
+        return {}

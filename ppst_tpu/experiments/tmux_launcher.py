@@ -1,0 +1,159 @@
+"""Experiment launcher infrastructure (reference
+experiments/tmux_launcher.py): an ``Options`` key-value bag that renders
+to a CLI string, plus a tmux-pane-based launcher.
+
+Differences from the reference: commands invoke ``python train.py``
+directly (JAX drives every local device from one process, so there is no
+``torch.distributed.launch`` wrapper or GPU auto-pick), and tmux is
+optional — without a tmux server, ``run_command`` executes in the
+foreground."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+from typing import List, Optional, Union
+
+
+class Options:
+    def __init__(self, *args, **kwargs):
+        self.kvs = {}
+        self.tag_str = None
+        for arg in args:
+            if isinstance(arg, Options):
+                self.kvs.update(arg.kvs)
+        self.set(**kwargs)
+
+    def set(self, *args, **kwargs):
+        for arg in args:
+            if isinstance(arg, Options):
+                self.kvs.update(arg.kvs)
+        for k, v in kwargs.items():
+            self.kvs[k] = v
+        return self
+
+    def remove(self, *args):
+        for k in args:
+            self.kvs.pop(k, None)
+        return self
+
+    def update(self, other: "Options"):
+        self.kvs.update(other.kvs)
+        return self
+
+    def clone(self) -> "Options":
+        opt = Options()
+        opt.kvs = dict(self.kvs)
+        opt.tag_str = self.tag_str
+        return opt
+
+    def specify(self, **kwargs):
+        return self.clone().set(**kwargs)
+
+    def tag(self, tag: str):
+        self.tag_str = tag
+        return self
+
+    def __str__(self):
+        parts = []
+        for k, v in self.kvs.items():
+            if isinstance(v, bool):
+                parts.append(f"--{k} {str(v)}")
+            elif isinstance(v, (list, tuple)):
+                parts.append(f"--{k} " + " ".join(str(x) for x in v))
+            else:
+                parts.append(f"--{k} {v}")
+        return " ".join(parts)
+
+
+class TmuxLauncher:
+    def __init__(self):
+        self.tmux_prefix = "experiments_" + type(self).__name__.replace(
+            "Launcher", ""
+        )
+
+    # Subclasses override:
+    def options(self) -> List[Options]:
+        return []
+
+    def train_options(self) -> List[Options]:
+        return self.options()
+
+    def test_options(self) -> List[Options]:
+        return self.options()
+
+    # ------------------------------------------------------------------
+
+    def commands(self) -> List[str]:
+        return [f"python train.py {opt}" for opt in self.train_options()]
+
+    def test_commands(self) -> List[str]:
+        return [f"python test.py {opt}" for opt in self.test_options()]
+
+    def find_tag(self, options: List[Options], tag: str) -> int:
+        for i, opt in enumerate(options):
+            if opt.tag_str == tag:
+                return i
+        raise ValueError(f"tag {tag} not found in options")
+
+    def resolve_expid(self, expid: Union[int, str], options: List[Options]) -> int:
+        if isinstance(expid, str) and not expid.isdigit():
+            return self.find_tag(options, expid)
+        return int(expid)
+
+    def _have_tmux(self) -> bool:
+        if shutil.which("tmux") is None:
+            return False
+        return (
+            subprocess.run(
+                ["tmux", "has-session"], capture_output=True
+            ).returncode
+            == 0
+            or subprocess.run(
+                ["tmux", "new-session", "-d", "-s", self.tmux_prefix],
+                capture_output=True,
+            ).returncode
+            == 0
+        )
+
+    def run_command(self, command: str, expid: int = 0, dry: bool = False):
+        print(command)
+        if dry:
+            return
+        if self._have_tmux():
+            window = f"{self.tmux_prefix}:{expid}"
+            subprocess.run(
+                ["tmux", "new-window", "-t", self.tmux_prefix, "-n", str(expid)],
+                capture_output=True,
+            )
+            subprocess.run(
+                ["tmux", "send-keys", "-t", window, command, "Enter"],
+                capture_output=True,
+            )
+        else:
+            os.system(command)
+
+    # -- CLI verbs ------------------------------------------------------
+
+    def train(self, expid: Union[int, str], dry: bool = False):
+        idx = self.resolve_expid(expid, self.train_options())
+        self.run_command(self.commands()[idx], idx, dry)
+
+    def test(self, expid: Union[int, str], dry: bool = False):
+        idx = self.resolve_expid(expid, self.test_options())
+        self.run_command(self.test_commands()[idx], idx, dry)
+
+    def launch(self, dry: bool = False):
+        for i, cmd in enumerate(self.commands()):
+            self.run_command(cmd, i, dry)
+
+    def dry(self):
+        self.launch(dry=True)
+
+    def stop(self):
+        if shutil.which("tmux"):
+            subprocess.run(
+                ["tmux", "kill-session", "-t", self.tmux_prefix],
+                capture_output=True,
+            )

@@ -1,0 +1,92 @@
+"""Architecture/training configuration shared by all PPST networks.
+
+Field names mirror the reference CLI flags (options/__init__.py and each
+network's modify_commandline_options) so the options layer can build this
+dataclass mechanically from a parsed namespace.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class PPSTConfig:
+    # core dims (reference models/ppst_model.py:19-20)
+    spatial_code_ch: int = 256
+    global_code_ch: int = 2048
+    num_classes: int = 0
+    crop_size: int = 512
+    use_antialias: bool = True
+
+    # E1 (reference encoder_con.py:14-19)
+    netE_scale_capacity: float = 1.0
+    netE_num_downsampling_sp: int = 3
+    netE_nc_steepness: float = 2.0
+
+    # E2 (reference encoder_col.py:15-20)
+    netE2_scale_capacity: float = 1.0
+    netE2_num_downsampling_gl1: int = 3
+    netE2_nc_steepness: float = 2.0
+
+    # G (reference generator.py:127-138)
+    netG_scale_capacity: float = 1.0
+    netG_num_base_resnet_layers: int = 4
+    netG_use_noise: bool = True
+    netG_resnet_ch: int = 256
+
+    # D (reference discriminator.py:7-9)
+    netD_scale_capacity: float = 1.0
+
+    # losses (reference ppst_model.py:21-34)
+    lambda_R1: float = 10.0
+    lambda_L1: float = 3.0
+    lambda_GAN: float = 1.0
+    training_stage: int = 2
+    lambda_StyleCon: float = 1.0
+    lambda_Maskwarp: float = 10.0
+    lambda_Cycwarp: float = 5.0
+    match_kernel: int = 1
+    nce_T: float = 0.07
+
+    # optimizer (reference ppst_optimizer.py:13-22)
+    lr: float = 0.001
+    beta1: float = 0.0
+    beta2: float = 0.99
+    R1_once_every: int = 16
+
+    # compute dtype for the conv stack ("float32" | "bfloat16"); params
+    # always stay float32.
+    dtype: str = "float32"
+
+    @property
+    def style_dim(self) -> int:
+        return self.global_code_ch + self.num_classes
+
+    def nc_e1(self, idx: int) -> int:
+        nc = self.netE_nc_steepness ** (5 + idx) * self.netE_scale_capacity
+        return round(min(self.global_code_ch, int(round(nc))))
+
+    def nc_e2(self, idx: int) -> int:
+        nc = self.netE2_nc_steepness ** (5 + idx) * self.netE2_scale_capacity
+        return round(min(self.global_code_ch, int(round(nc))))
+
+    def nf_g(self, num_up: int) -> int:
+        ch = 128 * (2 ** (self.netE_num_downsampling_sp - num_up))
+        return int(min(512, ch) * self.netG_scale_capacity)
+
+    @property
+    def e_blur_kernel(self):
+        return (1, 2, 1) if self.use_antialias else (1,)
+
+    @property
+    def gd_blur_kernel(self):
+        return (1, 3, 3, 1) if self.use_antialias else (1,)
+
+    @classmethod
+    def from_options(cls, opt) -> "PPSTConfig":
+        """Build from an argparse namespace produced by ppst_tpu.options."""
+        names = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in vars(opt).items() if k in names}
+        return cls(**kwargs)

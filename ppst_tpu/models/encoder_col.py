@@ -1,0 +1,142 @@
+"""E2: color/style encoder.
+
+Architecture parity with reference models/networks/encoder_col.py:13-251
+(StyleGAN2ResnetEncodercol): FromRGB -> N downsampling ResBlocks; at the
+input scale and after each block, GAP+GMP pooled statistics go through a
+1x1 reducer and a 3-layer MLP projector into an L2-normalized 2048-d style
+vector (4 scales total). Optional paths:
+
+* ``corrmatrix``: features are warped through the correspondence before
+  pooling (reference :166-172, :202-216) -> a parallel list of *warped*
+  style vectors. The warp at the input scale keeps gradients; deeper
+  scales use a stopped-gradient corr (reference detaches at :207).
+* ``mask``: 3-region masked pooling producing per-region projections for
+  the RSCL contrastive loss (reference :173-190, :217-245); the mask is
+  max-pooled 2x per scale, and warped-feature projections use the
+  batch-swapped mask.
+
+Generalization over the reference: warp scale factors adapt to the actual
+correspondence grid (sqrt(L)) instead of hard-coded 64/8-4-2 factors, so
+resolutions other than 512 work (the reference crashes there, SURVEY.md
+section 2.4 notes).
+
+The reference's ``ToGlobalCode`` EqualLinear is constructed but never
+called in its forward; it is not rebuilt.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ppst_tpu.models.config import PPSTConfig
+from ppst_tpu.nn.layers import ConvLayer, ResBlock, TorchLinear
+from ppst_tpu.ops.corr import warp, warp_resize
+
+
+class E2Output(NamedTuple):
+    vectors: Tuple  # 4 x (B, 2048) style vectors, coarse last
+    vectors_w: Tuple  # warped variants (empty without corrmatrix)
+    projections_m: Tuple  # 12 x (B, 2048): 3 regions per scale, scale-major
+    projections_mw: Tuple
+
+
+def l2_normalize(x, eps: float = 1e-12):
+    """torch F.normalize(dim=-1): divide by max(||x||, eps)."""
+    n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return x / jnp.maximum(n, eps)
+
+
+def batch_swap(x):
+    """Flip each consecutive pair in the batch (reference swap(),
+    ppst_model.py:59-66)."""
+    shape = x.shape
+    assert shape[0] % 2 == 0, "batch size must be a multiple of 2"
+    y = x.reshape((shape[0] // 2, 2) + shape[1:])
+    return jnp.flip(y, axis=1).reshape(shape)
+
+
+class _ProjectionHead(nn.Module):
+    """cat(GAP, GMP) -> 1x1 reducer -> ReLU/MLP(1024, 2048, 2048) ->
+    L2 normalize (reference encoder_col.py:47-93)."""
+
+    reduce_to: int
+
+    @nn.compact
+    def __call__(self, feat):
+        gap = feat.mean(axis=(1, 2))
+        gmp = feat.max(axis=(1, 2))
+        y = jnp.concatenate([gap, gmp], axis=-1)
+        y = TorchLinear(self.reduce_to, name="reduce")(y)
+        y = nn.relu(y)
+        y = TorchLinear(1024, normal_std=0.02, name="fc0")(y)
+        y = nn.relu(y)
+        y = TorchLinear(2048, normal_std=0.02, name="fc1")(y)
+        y = nn.relu(y)
+        y = TorchLinear(2048, normal_std=0.02, name="fc2")(y)
+        return l2_normalize(y)
+
+
+def _warp_features(x, corr, out_hw=None):
+    """Warp current-scale features through the correspondence: pool to the
+    corr source grid, warp, and resize back when above grid resolution."""
+    lk = corr.shape[2]
+    if x.shape[1] * x.shape[2] > lk:
+        return warp_resize(x, corr, out_hw=out_hw)
+    return warp(x, corr, out_hw=out_hw)
+
+
+class ColorEncoder(nn.Module):
+    cfg: PPSTConfig
+
+    @nn.compact
+    def __call__(self, x, corrmatrix=None, mask=None, corr_out_hw=None):
+        cfg = self.cfg
+        n_down = cfg.netE2_num_downsampling_gl1
+
+        vectors, vectors_w, proj_m, proj_mw = [], [], [], []
+        swapped_mask = batch_swap(mask) if mask is not None else None
+
+        def collect(head, feat, feat_w, cur_mask, cur_swapped):
+            vectors.append(head(feat))
+            if feat_w is not None:
+                vectors_w.append(head(feat_w))
+            if cur_mask is not None:
+                for i in range(3):
+                    proj_m.append(head(feat * cur_mask[..., i : i + 1]))
+                    if feat_w is not None:
+                        proj_mw.append(head(feat_w * cur_swapped[..., i : i + 1]))
+
+        y = ConvLayer(cfg.nc_e2(0), 1, name="from_rgb")(x)
+        head = _ProjectionHead(cfg.nc_e2(0), name="head_in")
+        yw = (
+            _warp_features(y, corrmatrix, corr_out_hw)
+            if corrmatrix is not None
+            else None
+        )
+        collect(head, y, yw, mask, swapped_mask)
+
+        for layer_id in range(n_down):
+            y = ResBlock(
+                cfg.nc_e2(layer_id + 1),
+                blur_kernel=cfg.e_blur_kernel,
+                reflection_pad=True,
+                name=f"down{2 ** layer_id}",
+            )(y)
+            head = _ProjectionHead(cfg.nc_e2(layer_id + 1), name=f"head{layer_id}")
+            yw = None
+            if corrmatrix is not None:
+                yw = _warp_features(
+                    y, jax.lax.stop_gradient(corrmatrix), corr_out_hw
+                )
+            if mask is not None:
+                mask = nn.max_pool(mask, (2, 2), strides=(2, 2))
+                swapped_mask = nn.max_pool(swapped_mask, (2, 2), strides=(2, 2))
+            collect(head, y, yw, mask, swapped_mask)
+
+        return E2Output(
+            tuple(vectors), tuple(vectors_w), tuple(proj_m), tuple(proj_mw)
+        )

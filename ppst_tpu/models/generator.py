@@ -1,0 +1,198 @@
+"""G: StyleGAN2-resnet generator with multi-scale style routing and the
+correspondence feature branch.
+
+Architecture parity with reference models/networks/generator.py:104-281
+(StyleGAN2ResnetGenerator):
+
+* SpatialCodeModulation -> ``netG_num_base_resnet_layers`` resolution-
+  preserving styled resblocks at structure-code resolution -> one
+  upsampling styled resblock per encoder downsampling -> ToRGB.
+* Style routing (:246-271): head blocks use global_codes[-1], upsampling
+  block j uses global_codes[-2-j], ToRGB uses global_codes[0]; all codes
+  are L2-normalized on entry.
+* ``extract_features``: stop-gradient taps at each resolution through
+  small conv stacks, fused by ``layert`` (3 residual blocks, 256ch at
+  structure resolution -> ``feat``) and ``layert1`` (-> 64ch at 256x256
+  -> ``feat1``), feeding corrm/Rselfcorr (:174-238, :252-280).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ppst_tpu.models.config import PPSTConfig
+from ppst_tpu.models.encoder_col import l2_normalize
+from ppst_tpu.nn.layers import (
+    ConvLayer,
+    EqualLinear,
+    PReLU,
+    StyledConv,
+    ToRGB,
+    TorchConv2d,
+    instance_norm,
+)
+from ppst_tpu.ops.corr import adaptive_avg_pool, resize_bilinear
+
+
+def _pad_replicate(x, p: int):
+    return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="edge")
+
+
+class GeneratorModulation(nn.Module):
+    """x * scale(style) + bias(style) (reference generator.py:80-91;
+    only the vector-style branch is live)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, style):
+        scale = EqualLinear(self.features, name="scale")(style)
+        bias = EqualLinear(self.features, name="bias")(style)
+        return x * scale[:, None, None, :] + bias[:, None, None, :]
+
+
+class ResolutionPreservingResnetBlock(nn.Module):
+    """(skip + styledconv x2) / sqrt(2) (reference generator.py:47-60)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, style):
+        in_ch = x.shape[-1]
+        res = StyledConv(self.features, 3, name="conv1")(x, style)
+        res = StyledConv(self.features, 3, name="conv2")(res, style)
+        skip = x
+        if in_ch != self.features:
+            skip = ConvLayer(
+                self.features, 1, activate=False, use_bias=False, name="skip"
+            )(x)
+        return (skip + res) / math.sqrt(2.0)
+
+
+class UpsamplingResnetBlock(nn.Module):
+    """Upsampling styled resblock with bilinear skip
+    (reference generator.py:63-77)."""
+
+    features: int
+    use_noise: bool = False
+
+    @nn.compact
+    def __call__(self, x, style):
+        in_ch = x.shape[-1]
+        res = StyledConv(
+            self.features, 3, upsample=True, use_noise=self.use_noise, name="conv1"
+        )(x, style)
+        res = StyledConv(
+            self.features, 3, use_noise=self.use_noise, name="conv2"
+        )(res, style)
+        skip = x
+        if in_ch != self.features:
+            skip = ConvLayer(self.features, 1, activate=True, use_bias=True, name="skip")(x)
+        b, h, w, c = skip.shape
+        skip = resize_bilinear(skip, (h * 2, w * 2))
+        return (skip + res) / math.sqrt(2.0)
+
+
+class _ResidualBlock(nn.Module):
+    """Plain residual block with shared PReLU (reference generator.py:10-32;
+    the same PReLU parameter is used after both convs there, kept)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        prelu = PReLU(name="prelu")
+        y = _pad_replicate(x, 1)
+        y = TorchConv2d(self.features, 3, name="conv1")(y)
+        y = instance_norm(y)
+        y = prelu(y)
+        y = _pad_replicate(y, 1)
+        y = TorchConv2d(self.features, 3, name="conv2")(y)
+        y = instance_norm(y)
+        return prelu(y + x)
+
+
+class _FeatureTap(nn.Module):
+    """Per-resolution feature tap (reference generator.py:174-224:
+    layer32/64/128 = padded 3x3 stack, layer256 = 1x1 stack). The leading
+    instance norm runs on the *padded* input, matching the reference's
+    Sequential ordering."""
+
+    conv1x1: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if self.conv1x1:
+            y = instance_norm(x)
+            y = TorchConv2d(64, 1, name="conv1")(y)
+            y = instance_norm(y)
+            y = PReLU(name="prelu1")(y)
+            y = TorchConv2d(64, 1, name="conv2")(y)
+            y = instance_norm(y)
+            return PReLU(name="prelu2")(y)
+        y = instance_norm(_pad_replicate(x, 1))
+        y = TorchConv2d(128, 3, name="conv1")(y)
+        y = instance_norm(y)
+        y = PReLU(name="prelu1")(y)
+        y = _pad_replicate(y, 1)
+        y = TorchConv2d(64, 3, name="conv2")(y)
+        y = instance_norm(y)
+        return PReLU(name="prelu2")(y)
+
+
+class Generator(nn.Module):
+    cfg: PPSTConfig
+
+    @nn.compact
+    def __call__(self, spatial_code, global_codes, extract_features: bool = False):
+        cfg = self.cfg
+        n_up = cfg.netE_num_downsampling_sp
+        codes = [l2_normalize(c) for c in global_codes]
+
+        x = GeneratorModulation(cfg.spatial_code_ch, name="sp_mod")(
+            spatial_code, codes[-1]
+        )
+        for i in range(cfg.netG_num_base_resnet_layers):
+            out_ch = (i + 1) / cfg.netG_num_base_resnet_layers * cfg.nf_g(0)
+            out_ch = max(cfg.spatial_code_ch, round(out_ch))
+            x = ResolutionPreservingResnetBlock(out_ch, name=f"head{i}")(x, codes[-1])
+
+        feas = []
+        if extract_features:
+            feas.append(_FeatureTap(name="tap32")(jax.lax.stop_gradient(x)))
+        h0, w0 = x.shape[1], x.shape[2]
+
+        for j in range(n_up):
+            x = UpsamplingResnetBlock(
+                cfg.nf_g(j + 1), use_noise=cfg.netG_use_noise, name=f"up{2 ** (4 + j)}"
+            )(x, codes[-2 - j])
+            if extract_features:
+                feas.append(
+                    _FeatureTap(conv1x1=(j == n_up - 1), name=f"tap{2 ** (6 + j)}")(
+                        jax.lax.stop_gradient(x)
+                    )
+                )
+
+        rgb = ToRGB(name="to_rgb")(x, codes[0])
+        if not extract_features:
+            return rgb
+
+        feat = jnp.concatenate(
+            [feas[0]] + [adaptive_avg_pool(f, (h0, w0)) for f in feas[1:]], axis=-1
+        )
+        # The reference fixes this at 256x256 (generator.py:274-277), which
+        # only lines up with Rselfcorr's 4x4 patching for 512px inputs;
+        # 4*grid generalizes it (== 256 at 512px, exact parity there).
+        feat1 = jnp.concatenate(
+            [resize_bilinear(f, (4 * h0, 4 * w0)) for f in feas], axis=-1
+        )
+        for i in range(3):
+            feat = _ResidualBlock(256, name=f"fuse{i}")(feat)
+        feat1 = _ResidualBlock(256, name="fuse1_res")(feat1)
+        feat1 = TorchConv2d(64, 1, name="fuse1_conv")(feat1)
+        return rgb, feat, feat1

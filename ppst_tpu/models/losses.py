@@ -1,0 +1,113 @@
+"""Loss primitives: LSGAN loss and the RSCL style-contrastive loss.
+
+References: models/networks/loss.py:11-18 (gan_loss, least-squares form)
+and networks/rscl.py:17-90 (rsclLoss, MoCo-style queues).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gan_loss(pred, should_be_classified_as_real: bool):
+    """Least-squares GAN loss (reference loss.py:11-18)."""
+    if should_be_classified_as_real:
+        return jnp.mean((pred - 1.0) ** 2)
+    return jnp.mean(pred**2)
+
+
+def l1_loss(a, b):
+    return jnp.mean(jnp.abs(a - b))
+
+
+# ---------------------------------------------------------------------------
+# RSCL
+# ---------------------------------------------------------------------------
+
+QUEUE_SIZE = 128
+NUM_QUEUES = 4
+CODE_DIM = 2048
+
+
+def init_rscl_state(rng) -> dict:
+    """4 per-scale queues of 128 column-normalized 2048-d keys + ring
+    pointers (reference rscl.py:23-40)."""
+    keys = jax.random.split(rng, NUM_QUEUES)
+    queues = []
+    for k in keys:
+        q = jax.random.normal(k, (CODE_DIM, QUEUE_SIZE), jnp.float32)
+        q = q / jnp.linalg.norm(q, axis=0, keepdims=True)
+        queues.append(q)
+    return {
+        "queues": jnp.stack(queues),  # (4, 2048, 128)
+        "ptrs": jnp.zeros((NUM_QUEUES,), jnp.int32),
+    }
+
+
+def rscl_loss(feat_q, feat_k, feat_k0, queue, nce_T: float):
+    """InfoNCE with queue + explicit-key negatives
+    (reference rscl.py:42-65).
+
+    The reference also appends an "in-batch negatives" block, but its
+    diagonal mask — ``eye(1)`` broadcast over the whole matrix
+    (rscl.py:58-59) — fills every entry with -10, so the block is a
+    constant; it is reproduced as such for logit-level parity (its softmax
+    contribution is ~e^-143).
+    """
+    n = feat_q.shape[0]
+    l_pos = jnp.sum(feat_q * feat_k, axis=-1, keepdims=True)  # (N, 1)
+    negs = jnp.concatenate([queue, feat_k0.T], axis=1)  # (2048, K + N0)
+    l_neg2 = feat_q @ negs  # (N, K + N0)
+    l_neg1 = jnp.full((n, n), -10.0, feat_q.dtype)
+    logits = jnp.concatenate([l_pos, l_neg1, l_neg2], axis=1) / nce_T
+    return -jnp.mean(jax.nn.log_softmax(logits, axis=-1)[:, 0])
+
+
+def enqueue_schedule(batch_global: int, n_dev: int):
+    """Static (region, sample) index pairs reproducing the reference's six
+    sequential single-key enqueues per scale under data parallelism
+    (reference ppst_model.py:214-219 + rscl.py:67-69 concat_all_gather).
+
+    Per device, ``key0``/``keyw`` are (3*B_local, 2048) region-major
+    stacks; the reference enqueues local rows 0..2 of each, and every
+    enqueue all-gathers one row per device. In global terms row r of
+    device d is (region=r // B_local, sample=d*B_local + r % B_local).
+
+    Returns two (6 * n_dev, ) numpy index arrays (regions, samples); the
+    first half indexes key0 projections, the second half keyw.
+    """
+    b_local = batch_global // n_dev
+    regions, samples = [], []
+    for r in range(3):  # three enqueue calls per source tensor
+        for d in range(n_dev):
+            regions.append(r // b_local)
+            samples.append(d * b_local + r % b_local)
+    regions = regions * 2
+    samples = samples * 2
+    return np.asarray(regions, np.int32), np.asarray(samples, np.int32)
+
+
+def rscl_enqueue(state: dict, layer: int, key0_rs, keyw_rs, n_dev: int):
+    """Ring-buffer write of the step's keys for one scale.
+
+    ``key0_rs``/``keyw_rs`` are (3, B_global, 2048) region-major stacks of
+    the masked projections (detached by the caller). Equivalent to six
+    sequential reference enqueues of ``n_dev`` gathered keys each.
+    """
+    b_global = key0_rs.shape[1]
+    regions, samples = enqueue_schedule(b_global, n_dev)
+    half = len(regions) // 2
+    k0 = key0_rs[regions[:half], samples[:half]]  # (3*n_dev, 2048)
+    kw = keyw_rs[regions[half:], samples[half:]]
+    keys = jnp.concatenate([k0, kw], axis=0)  # (6*n_dev, 2048)
+
+    n = keys.shape[0]
+    ptr = state["ptrs"][layer]
+    pos = (ptr + jnp.arange(n, dtype=jnp.int32)) % QUEUE_SIZE
+    q = state["queues"][layer].at[:, pos].set(keys.T)
+    return {
+        "queues": state["queues"].at[layer].set(q),
+        "ptrs": state["ptrs"].at[layer].set((ptr + n) % QUEUE_SIZE),
+    }

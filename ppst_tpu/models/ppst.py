@@ -1,0 +1,291 @@
+"""The PPST model: algorithm-level pure functions over parameter pytrees.
+
+Mirrors reference models/ppst_model.py (PPSTModel) but in functional form:
+the reference's ``command=`` string dispatch through a DDP wrapper becomes
+plain jitted functions over (params, state, batch) pytrees.
+
+``params``: {"E1", "E2", "G", "D"} flax param trees.
+``state``:  {"rscl": {queues, ptrs}, "num_d_iters": int32} — the mutable
+            buffers the reference registers on the module
+            (rscl.py:33-40, ppst_model.py:44-46); threaded explicitly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ppst_tpu.models.config import PPSTConfig
+from ppst_tpu.models.discriminator import Discriminator
+from ppst_tpu.models.encoder_col import ColorEncoder, batch_swap
+from ppst_tpu.models.encoder_con import ContentEncoder
+from ppst_tpu.models.generator import Generator
+from ppst_tpu.models.losses import (
+    gan_loss,
+    init_rscl_state,
+    l1_loss,
+    rscl_enqueue,
+    rscl_loss,
+)
+from ppst_tpu.ops import lpips as lpips_mod
+from ppst_tpu.ops.corr import corrm, rselfcorr, warp
+from ppst_tpu.ops.guided_filter import guided_filter
+
+
+class PPSTModel:
+    def __init__(self, cfg: PPSTConfig, lpips_variables=None):
+        self.cfg = cfg
+        self.e1 = ContentEncoder(cfg)
+        self.e2 = ColorEncoder(cfg)
+        self.g = Generator(cfg)
+        self.d = Discriminator(cfg)
+        self.lpips = lpips_mod.LPIPS()
+        self.lpips_variables = (
+            lpips_variables if lpips_variables is not None else lpips_mod.init_params()
+        )
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+
+    def init(self, rng, image_hw: Optional[int] = None):
+        size = image_hw or self.cfg.crop_size
+        k_e1, k_e2, k_g, k_d, k_noise, k_q = jax.random.split(rng, 6)
+        x = jnp.zeros((2, size, size, 3), jnp.float32)
+        sp = jnp.zeros(
+            (2, size // 8, size // 8, self.cfg.spatial_code_ch), jnp.float32
+        )
+        gl = [jnp.zeros((2, self.cfg.style_dim), jnp.float32)] * 4
+        params = {
+            "E1": self.e1.init(k_e1, x)["params"],
+            "E2": self.e2.init(k_e2, x)["params"],
+            "G": self.g.init(
+                {"params": k_g, "noise": k_noise}, sp, gl, extract_features=True
+            )["params"],
+            "D": self.d.init(k_d, x)["params"],
+        }
+        state = {
+            "rscl": init_rscl_state(k_q),
+            "num_d_iters": jnp.zeros((), jnp.int32),
+        }
+        return params, state
+
+    # ------------------------------------------------------------------
+    # network applications
+    # ------------------------------------------------------------------
+
+    def apply_e1(self, params, x):
+        return self.e1.apply({"params": params["E1"]}, x)
+
+    def apply_e2(self, params, x, corrmatrix=None, mask=None):
+        return self.e2.apply(
+            {"params": params["E2"]}, x, corrmatrix=corrmatrix, mask=mask
+        )
+
+    def apply_g(self, params, sp, gl, rng, extract_features: bool = False):
+        return self.g.apply(
+            {"params": params["G"]},
+            sp,
+            list(gl),
+            extract_features=extract_features,
+            rngs={"noise": rng},
+        )
+
+    def apply_d(self, params, x):
+        return self.d.apply({"params": params["D"]}, x)
+
+    # ------------------------------------------------------------------
+    # correspondence pipeline (reference ppst_model.py:113-123, 166-171)
+    # ------------------------------------------------------------------
+
+    def swap(self, x):
+        return batch_swap(x)
+
+    def _sps_descriptor(self, params, sp, gl, rng):
+        """G feature branch -> concat(feat, Rselfcorr(feat1))."""
+        _, feas, feas1 = self.apply_g(params, sp, gl, rng, extract_features=True)
+        selfatt = rselfcorr(feas1)
+        return jnp.concatenate([feas, selfatt], axis=-1)
+
+    # ------------------------------------------------------------------
+    # losses
+    # ------------------------------------------------------------------
+
+    def discriminator_losses(self, params, state, real, mask, rng):
+        """Reference ppst_model.py:105-138. Returns (losses, new_state)."""
+        cfg = self.cfg
+        del mask  # unused by the D step (parity: reference ignores it too)
+        state = dict(state, num_d_iters=state["num_d_iters"] + 1)
+        r_ext, r_mix, r_rec = jax.random.split(rng, 3)
+
+        sp = self.apply_e1(params, real)
+        gl = self.apply_e2(params, real).vectors
+        mix = None
+        if cfg.training_stage == 2:
+            sps = self._sps_descriptor(params, sp, gl, r_ext)
+            corr_sw = corrm(sps, self.swap(sps))
+            corr_self = corrm(sps, sps)
+            if cfg.lambda_StyleCon > 0.0:
+                gl_w = self.apply_e2(params, real, corrmatrix=corr_sw).vectors_w
+                mix = self.apply_g(params, self.swap(sp), gl_w, r_mix)
+            # reconstruction styles are the *self-corr-warped* vectors
+            gl = self.apply_e2(params, real, corrmatrix=corr_self).vectors_w
+
+        b = real.shape[0]
+        assert b % 2 == 0, "batch size must be even on each shard"
+        gl_half = [g[: b // 2] for g in gl]
+        rec = self.apply_g(params, sp[: b // 2], gl_half, r_rec)
+
+        losses = {}
+        if cfg.lambda_GAN > 0.0:
+            # generator-side outputs are constants for the D update
+            rec = jax.lax.stop_gradient(rec)
+            losses["D_real"] = (
+                gan_loss(self.apply_d(params, real), True) * cfg.lambda_GAN
+            )
+            losses["D_rec"] = (
+                gan_loss(self.apply_d(params, rec), False) * 0.5 * cfg.lambda_GAN
+            )
+            if cfg.training_stage == 2 and mix is not None:
+                mix = jax.lax.stop_gradient(mix)
+                losses["D_mix"] = (
+                    gan_loss(self.apply_d(params, mix), False) * 0.5 * cfg.lambda_GAN
+                )
+        return losses, state
+
+    def r1_loss(self, params, real):
+        """Lazy R1 gradient penalty (reference ppst_model.py:140-159)."""
+        if self.cfg.lambda_R1 <= 0.0:
+            return {"D_R1": jnp.zeros(())}
+
+        def score(x):
+            return jnp.sum(self.apply_d(params, x))
+
+        grad_real = jax.grad(score)(real)
+        penalty = jnp.sum(grad_real**2, axis=(1, 2, 3)) * (self.cfg.lambda_R1 * 0.5)
+        return {"D_R1": jnp.mean(penalty)}
+
+    def generator_losses(self, params, state, real, mask, rng, n_dev: int = 1):
+        """Reference ppst_model.py:161-235.
+
+        Returns (losses, metrics, new_state). The reference's
+        ``crop_size >= 1024`` half-batch path references an undefined
+        variable there (SURVEY.md 5.7) and is not reproduced.
+        """
+        cfg = self.cfg
+        r_ext, r_rec, r_mix, r_cyc = jax.random.split(rng, 4)
+        losses, metrics = {}, {}
+        b = real.shape[0]
+
+        sp = self.apply_e1(params, real)
+        gl = self.apply_e2(params, real).vectors
+        gl_w = pro_ms = pro_mw = None
+        corr_sw = None
+        if cfg.training_stage == 2:
+            sps = self._sps_descriptor(params, sp, gl, r_ext)
+            corr_sw = corrm(sps, self.swap(sps))
+            corr_self = corrm(sps, sps)
+            gl = self.apply_e2(params, real, corrmatrix=corr_self).vectors_w
+            if cfg.lambda_StyleCon > 0.0:
+                out = self.apply_e2(params, real, corrmatrix=corr_sw, mask=mask)
+                pro_ms, gl_w, pro_mw = out.projections_m, out.vectors_w, out.projections_mw
+            if cfg.lambda_Cycwarp > 0.0:
+                image_warp = warp(real, corr_sw)
+                image_rec = warp(image_warp, self.swap(corr_sw))
+                reg = self.lpips.apply(self.lpips_variables, image_rec, real)
+                losses["image_warp_reg"] = jnp.mean(reg) * cfg.lambda_Cycwarp
+            if cfg.lambda_Maskwarp > 0.0:
+                mask_warp = warp(mask, corr_sw)
+                losses["Mask_warp"] = (
+                    l1_loss(mask_warp, self.swap(mask)) * cfg.lambda_Maskwarp
+                )
+
+        rec = self.apply_g(params, sp, gl, r_rec)
+        if cfg.lambda_L1 > 0.0:
+            losses["G_L1"] = l1_loss(rec, real) * cfg.lambda_L1
+
+        mix = None
+        if cfg.training_stage == 2 and cfg.lambda_StyleCon > 0.0:
+            mix = self.apply_g(params, self.swap(sp), gl_w, r_mix)
+            pro_3m = self.apply_e2(params, mix, mask=self.swap(mask)).projections_m
+            pro_2m = self.apply_e2(params, rec, mask=mask).projections_m
+            sp_3 = self.apply_e1(params, mix)
+            gl_half = [g[: b // 2] for g in gl]
+            cyc = self.apply_g(params, self.swap(sp_3)[: b // 2], gl_half, r_cyc)
+            metrics["L1_dist"] = l1_loss(cyc, real[: b // 2])
+            losses["G_L1_cyc"] = metrics["L1_dist"] * 3.0
+
+            styleloss = 0.0
+            styleloss2 = 0.0
+            sg = jax.lax.stop_gradient
+            new_rscl = state["rscl"]
+            for scale in range(4):
+                sl = slice(3 * scale, 3 * scale + 3)
+                key0 = jnp.concatenate(pro_ms[sl], axis=0)  # (3B, 2048)
+                keyw = jnp.concatenate(pro_mw[sl], axis=0)
+                query = jnp.concatenate(pro_3m[sl], axis=0)
+                query_r = jnp.concatenate(pro_2m[sl], axis=0)
+                queue = sg(state["rscl"]["queues"][scale])
+                styleloss += rscl_loss(query, sg(keyw), sg(key0), queue, cfg.nce_T)
+                styleloss2 += rscl_loss(query_r, sg(key0), sg(keyw), queue, cfg.nce_T)
+                new_rscl = rscl_enqueue(
+                    new_rscl,
+                    scale,
+                    sg(key0).reshape(3, b, -1),
+                    sg(keyw).reshape(3, b, -1),
+                    n_dev,
+                )
+            state = dict(state, rscl=new_rscl)
+            losses["G_styleContmix"] = styleloss * cfg.lambda_StyleCon
+            losses["G_styleContrec"] = styleloss2 * cfg.lambda_StyleCon
+
+        if cfg.lambda_GAN > 0.0:
+            losses["G_GAN_rec"] = (
+                gan_loss(self.apply_d(params, rec), True) * cfg.lambda_GAN * 0.5
+            )
+            if cfg.training_stage == 2 and mix is not None:
+                losses["G_GAN_mix"] = (
+                    gan_loss(self.apply_d(params, mix), True) * cfg.lambda_GAN
+                )
+        return losses, metrics, state
+
+    # ------------------------------------------------------------------
+    # inference API (reference ppst_model.py:264-315)
+    # ------------------------------------------------------------------
+
+    def encode(self, params, image):
+        return self.apply_e1(params, image), self.apply_e2(params, image).vectors
+
+    def encode2(self, params, image, corrmatrix):
+        out = self.apply_e2(params, image, corrmatrix=corrmatrix)
+        return out.vectors, out.vectors_w
+
+    def extract_feat_from_image(self, params, image, rng):
+        sp = self.apply_e1(params, image)
+        gl = self.apply_e2(params, image).vectors
+        _, fea, fea1 = self.apply_g(params, sp, gl, rng, extract_features=True)
+        return fea, fea1
+
+    def decode(self, params, sp, gl, rng, target=None):
+        """G forward; with ``target`` the guided-filter post-processing runs
+        in the same XLA program (the reference round-trips through
+        CPU/OpenCV per image here, ppst_model.py:288-306)."""
+        out = self.apply_g(params, sp, gl, rng)
+        if target is None:
+            return out
+        out255 = (jnp.clip(out, -1.0, 1.0) + 1.0) * 127.5
+        guide255 = (jnp.clip(target, -1.0, 1.0) + 1.0) * 127.5
+        smoothed = guided_filter(guide255, out255, radius=30, eps=(0.02 * 255.0) ** 2)
+        return smoothed / 127.5 - 1.0
+
+    def correspondence_from_images(self, params, img_c, img_s, rng):
+        """content+style images -> corr matrix (reference
+        simple_swapping_evaluator.py:47-53)."""
+        r1, r2 = jax.random.split(rng)
+        fea_c, fea_c1 = self.extract_feat_from_image(params, img_c, r1)
+        fea_s, fea_s1 = self.extract_feat_from_image(params, img_s, r2)
+        desc_c = jnp.concatenate([fea_c, rselfcorr(fea_c1)], axis=-1)
+        desc_s = jnp.concatenate([fea_s, rselfcorr(fea_s1)], axis=-1)
+        return corrm(desc_s, desc_c)

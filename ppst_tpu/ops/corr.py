@@ -76,20 +76,25 @@ def corrm(fea, fea0, temperature: float = 0.01, split: int = 256):
     return jax.nn.softmax(logits, axis=-1)
 
 
-def warp(fea, corr):
+def warp(fea, corr, out_hw=None):
     """Attention-weighted resampling (reference ppst_model.py:366-387).
 
-    ``fea`` is (B, h, w, C); ``corr`` is (B, L, L). When h*w != L, each
-    image is treated as a grid of s x s blocks (s = sqrt(h*w/L)) that move
-    as units: the block grid is flattened, multiplied by ``corr``, and
-    reassembled (the reference's unfold/matmul/fold).
+    ``fea`` is (B, h, w, C); ``corr`` is (B, Lq, Lk) with h*w == Lk (flat
+    path) — or, when h*w > Lk with Lq == Lk, each image is treated as a
+    grid of s x s blocks (s = sqrt(h*w/Lk)) that move as units: the block
+    grid is flattened, multiplied by ``corr``, and reassembled (the
+    reference's unfold/matmul/fold).
+
+    ``out_hw`` shapes the output grid for the flat path when Lq != h*w
+    (content/style grids of different sizes at inference).
     """
     b, h, w, c = fea.shape
-    l = corr.shape[1]
-    if h * w != l:
-        s = int(round((h * w / l) ** 0.5))
-        assert s * s * l == h * w, (
-            f"warp: feature grid {h}x{w} incompatible with corr length {l}"
+    lq, lk = corr.shape[1], corr.shape[2]
+    if h * w != lk:
+        assert lq == lk, "block-warp requires a square correspondence"
+        s = int(round((h * w / lk) ** 0.5))
+        assert s * s * lk == h * w, (
+            f"warp: feature grid {h}x{w} incompatible with corr length {lk}"
         )
         ph, pw = h // s, w // s
         blocks = fea.reshape(b, ph, s, pw, s, c)
@@ -99,7 +104,14 @@ def warp(fea, corr):
         return out.reshape(b, h, w, c)
     flat = fea.reshape(b, h * w, c)
     out = jnp.einsum("bij,bjc->bic", corr, flat)
-    return out.reshape(b, h, w, c)
+    if out_hw is None:
+        if lq == h * w:
+            out_hw = (h, w)
+        else:
+            g = int(round(lq**0.5))
+            assert g * g == lq, "pass out_hw for non-square target grids"
+            out_hw = (g, g)
+    return out.reshape(b, out_hw[0], out_hw[1], c)
 
 
 def adaptive_avg_pool(x, out_hw):
@@ -119,14 +131,23 @@ def resize_bilinear(x, out_hw):
     return jax.image.resize(x, (b, out_hw[0], out_hw[1], c), method="linear")
 
 
-def warp_resize(fea, corr, scale_factor: int, grid: int = 64):
+def warp_resize(fea, corr, out_hw=None):
     """E2's warp for scales above the correspondence grid
-    (reference encoder_col.py:100-131, resize=True branch): pool to the
-    64x64 grid, warp, then bilinear-upsample back by ``scale_factor``."""
+    (reference encoder_col.py:100-131, resize=True branch): pool ``fea``
+    down to the source grid (aspect-preserving, sqrt(Lk) scale), warp,
+    then bilinear-upsample the target grid back by the same factor.
+
+    ``out_hw`` is the target (content) grid; defaults to the source grid
+    (the training case, where both sides share one grid)."""
     b, h, w, c = fea.shape
-    assert h == w, "warp_resize: non-square inputs are not supported"
-    pooled = adaptive_avg_pool(fea, (grid, grid))
-    warped = warp(pooled, corr)
-    if scale_factor == 1:
+    lk = corr.shape[2]
+    s = int(round((h * w / lk) ** 0.5))
+    assert s >= 1 and (h // s) * (w // s) == lk, (
+        f"warp_resize: features {h}x{w} do not pool onto corr source {lk}"
+    )
+    pooled = adaptive_avg_pool(fea, (h // s, w // s))
+    warped = warp(pooled, corr, out_hw=out_hw)
+    if s == 1:
         return warped
-    return resize_bilinear(warped, (grid * scale_factor, grid * scale_factor))
+    oh, ow = warped.shape[1], warped.shape[2]
+    return resize_bilinear(warped, (oh * s, ow * s))

@@ -1,0 +1,202 @@
+"""ModelBundle: model + params + mutable state + checkpointing.
+
+This is the functional replacement for the reference's
+``models.create_model`` -> ``MultiGPUModelWrapper`` (reference
+models/__init__.py:57-91) and BaseModel's checkpoint save/load
+(models/base_model.py:33-112): instead of a DDP-wrapped nn.Module, a
+bundle of pytrees plus a mesh.
+
+Checkpoint scheme keeps the reference's naming for CLI parity:
+``<steps//1000>k_checkpoint.msgpack`` + a ``latest_checkpoint.msgpack``
+symlink under ``<checkpoints_dir>/<name>/``. Unlike the reference, the
+optimizer state IS saved (the reference silently restarts Adam moments on
+resume — SURVEY.md 5.4 flags this as a fidelity gap to fix).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from ppst_tpu.models.config import PPSTConfig
+from ppst_tpu.models.ppst import PPSTModel
+from ppst_tpu.parallel.mesh import make_mesh, replicated_sharding
+
+
+class ModelBundle:
+    def __init__(self, opt, cfg: Optional[PPSTConfig] = None):
+        self.opt = opt
+        self.cfg = cfg or PPSTConfig.from_options(opt)
+        self.model = PPSTModel(self.cfg)
+        self.mesh = make_mesh(getattr(opt, "num_gpus", None) or None)
+        self.rng = jax.random.PRNGKey(getattr(opt, "seed", 0))
+        self.rng, init_key = jax.random.split(self.rng)
+        with jax.default_device(jax.devices()[0]):
+            self.params, self.state = self.model.init(init_key, self.cfg.crop_size)
+        self.opt_states: Optional[Dict[str, Any]] = None  # set by the optimizer
+
+    # -- rng ------------------------------------------------------------
+
+    def next_rng(self):
+        self.rng, k = jax.random.split(self.rng)
+        return k
+
+    # -- checkpoint -----------------------------------------------------
+
+    @property
+    def save_dir(self) -> str:
+        return os.path.join(self.opt.checkpoints_dir, self.opt.name)
+
+    def _ckpt_payload(self) -> Dict[str, Any]:
+        payload = {"params": self.params, "state": self.state}
+        if self.opt_states is not None:
+            payload["opt_states"] = self.opt_states
+        return payload
+
+    def save(self, steps: int):
+        os.makedirs(self.save_dir, exist_ok=True)
+        name = f"{steps // 1000}k_checkpoint.msgpack"
+        path = os.path.join(self.save_dir, name)
+        payload = jax.tree.map(np.asarray, self._ckpt_payload())
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(payload))
+        os.replace(tmp, path)  # atomic save (SURVEY.md 5.3)
+        latest = os.path.join(self.save_dir, "latest_checkpoint.msgpack")
+        if os.path.islink(latest) or os.path.exists(latest):
+            os.remove(latest)
+        os.symlink(name, latest)
+        print(f"Saved checkpoint at {path}")
+
+    def load(self, resume_iter: str = "latest", pretrained_name: Optional[str] = None):
+        """Tolerant load (reference base_model.py:43-112): entries whose
+        path/shape do not match current params are skipped with a warning;
+        at test time D weights are skipped like the reference (:61)."""
+        load_dir = self.save_dir
+        if pretrained_name:
+            load_dir = os.path.join(self.opt.checkpoints_dir, pretrained_name)
+        if resume_iter == "latest":
+            name = "latest_checkpoint.msgpack"
+        else:
+            name = f"{resume_iter.replace('k', '')}k_checkpoint.msgpack"
+        path = os.path.join(load_dir, name)
+        with open(path, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+
+        skip_d = not getattr(self.opt, "isTrain", True)
+
+        def merge(cur, new, prefix=""):
+            if isinstance(cur, dict):
+                return {
+                    k: merge(v, new.get(k) if isinstance(new, dict) else None,
+                             f"{prefix}/{k}")
+                    for k, v in cur.items()
+                }
+            if new is None:
+                print(f"[load] missing {prefix}, keeping initialization")
+                return cur
+            new = jnp.asarray(new)
+            if cur is not None and hasattr(cur, "shape") and cur.shape != new.shape:
+                print(f"[load] shape mismatch at {prefix}: "
+                      f"{cur.shape} vs {new.shape}, keeping initialization")
+                return cur
+            return new
+
+        payload = self._ckpt_payload()
+        for key in payload:
+            if key not in raw:
+                continue
+            if key == "params" and skip_d:
+                raw[key].pop("D", None)
+            merged = merge(payload[key], raw[key], key)
+            if key == "params":
+                self.params = merged
+            elif key == "state":
+                self.state = merged
+            elif key == "opt_states" and self.opt_states is not None:
+                self.opt_states = merged
+        print(f"Loaded checkpoint from {path}")
+
+    def replicate(self):
+        """Place params/state on the mesh (replicated)."""
+        sh = replicated_sharding(self.mesh)
+        self.params = jax.device_put(self.params, sh)
+        self.state = jax.device_put(self.state, sh)
+        if self.opt_states is not None:
+            self.opt_states = jax.device_put(self.opt_states, sh)
+
+    # ------------------------------------------------------------------
+    # jitted inference API (reference ppst_model.py:264-315 command verbs)
+    # ------------------------------------------------------------------
+
+    def _jit(self, name, fn):
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        if name not in cache:
+            cache[name] = jax.jit(fn)
+        return cache[name]
+
+    def encode(self, image):
+        fn = self._jit("encode", lambda p, x: self.model.encode(p, x))
+        return fn(self.params, jnp.asarray(image))
+
+    def extract_feat_from_image(self, image):
+        fn = self._jit(
+            "extract",
+            lambda p, x, r: self.model.extract_feat_from_image(p, x, r),
+        )
+        return fn(self.params, jnp.asarray(image), self.next_rng())
+
+    def rselfcorr(self, fea1):
+        from ppst_tpu.ops.corr import rselfcorr
+
+        return self._jit("rselfcorr", rselfcorr)(fea1)
+
+    def corrm(self, fea, fea0):
+        from ppst_tpu.ops.corr import corrm
+
+        return self._jit("corrm", corrm)(fea, fea0)
+
+    def encode2(self, image, corrmatrix, corr_out_hw=None):
+        def fn(p, x, c):
+            out = self.model.e2.apply(
+                {"params": p["E2"]}, x, corrmatrix=c, corr_out_hw=corr_out_hw
+            )
+            return out.vectors, out.vectors_w
+
+        return self._jit(f"encode2{corr_out_hw}", fn)(
+            self.params, jnp.asarray(image), corrmatrix
+        )
+
+    def decode(self, sp, gl, target=None):
+        if target is None:
+            fn = self._jit(
+                "decode", lambda p, s, g, r: self.model.decode(p, s, g, r)
+            )
+            return fn(self.params, sp, tuple(gl), self.next_rng())
+        fn = self._jit(
+            "decode_smooth",
+            lambda p, s, g, r, t: self.model.decode(p, s, g, r, target=t),
+        )
+        return fn(self.params, sp, tuple(gl), self.next_rng(), jnp.asarray(target))
+
+
+def create_model(opt) -> ModelBundle:
+    bundle = ModelBundle(opt)
+    is_train = getattr(opt, "isTrain", True)
+    if (not is_train) or getattr(opt, "continue_train", False):
+        try:
+            bundle.load(
+                getattr(opt, "resume_iter", "latest"),
+                getattr(opt, "pretrained_name", None),
+            )
+        except FileNotFoundError as e:
+            if is_train:
+                print(f"[load] {e}; starting from scratch")
+            else:
+                raise
+    return bundle

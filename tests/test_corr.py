@@ -106,7 +106,7 @@ def test_warp_resize_matches_torch(rng):
     grid = 8
     fea = rng.standard_normal((1, 32, 32, 4)).astype(np.float32)
     corr = rng.random((1, grid * grid, grid * grid)).astype(np.float32)
-    got = warp_resize(jnp.asarray(fea), jnp.asarray(corr), scale_factor=4, grid=grid)
+    got = warp_resize(jnp.asarray(fea), jnp.asarray(corr))
     pooled = TF.adaptive_avg_pool2d(nchw(fea), (grid, grid))
     flat = pooled.reshape(1, 4, -1).permute(0, 2, 1)
     warped = torch.bmm(torch.from_numpy(corr), flat).permute(0, 2, 1)

@@ -1,0 +1,116 @@
+"""Network construction, output shapes, and basic invariants (the
+reference's shape facts: SURVEY.md section 2.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ppst_tpu.models import (
+    ColorEncoder,
+    ContentEncoder,
+    Discriminator,
+    Generator,
+    PPSTConfig,
+)
+
+CFG = PPSTConfig(crop_size=128)
+B, S = 2, 128
+GRID = S // 8  # structure-code resolution
+L = GRID * GRID
+
+
+@pytest.fixture(scope="module")
+def nets():
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+    x = jnp.zeros((B, S, S, 3))
+    e1 = ContentEncoder(CFG)
+    e1_params = e1.init(rngs, x)
+    e2 = ColorEncoder(CFG)
+    e2_params = e2.init(rngs, x)
+    g = Generator(CFG)
+    sp = jnp.zeros((B, GRID, GRID, CFG.spatial_code_ch))
+    gl = [jnp.zeros((B, CFG.style_dim))] * 4
+    # init must trace the feature branch too so its params exist
+    g_params = g.init(rngs, sp, gl, extract_features=True)
+    d = Discriminator(CFG)
+    d_params = d.init(rngs, x)
+    return dict(e1=(e1, e1_params), e2=(e2, e2_params), g=(g, g_params), d=(d, d_params))
+
+
+def test_e1_structure_code_shape(nets, rng):
+    e1, params = nets["e1"]
+    x = jnp.asarray(rng.standard_normal((B, S, S, 3)).astype(np.float32))
+    sp = e1.apply(params, x)
+    assert sp.shape == (B, GRID, GRID, CFG.spatial_code_ch)
+
+
+def test_e2_style_vectors(nets, rng):
+    e2, params = nets["e2"]
+    x = jnp.asarray(rng.standard_normal((B, S, S, 3)).astype(np.float32))
+    out = e2.apply(params, x)
+    assert len(out.vectors) == 4
+    for v in out.vectors:
+        assert v.shape == (B, CFG.global_code_ch)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(v), axis=-1), 1.0, rtol=1e-4
+        )
+    assert out.vectors_w == () and out.projections_m == ()
+
+
+def test_e2_full_paths(nets, rng):
+    e2, params = nets["e2"]
+    x = jnp.asarray(rng.standard_normal((B, S, S, 3)).astype(np.float32))
+    corr = jax.nn.softmax(
+        jnp.asarray(rng.standard_normal((B, L, L)).astype(np.float32)), -1
+    )
+    mask = jnp.asarray((rng.random((B, S, S, 3)) > 0.5).astype(np.float32))
+    out = e2.apply(params, x, corrmatrix=corr, mask=mask)
+    assert len(out.vectors) == 4
+    assert len(out.vectors_w) == 4
+    assert len(out.projections_m) == 12  # 3 regions x 4 scales
+    assert len(out.projections_mw) == 12
+    for v in out.vectors_w + out.projections_m + out.projections_mw:
+        assert v.shape == (B, CFG.global_code_ch)
+
+
+def test_generator_rgb_and_features(nets, rng):
+    g, params = nets["g"]
+    sp = jnp.asarray(
+        rng.standard_normal((B, GRID, GRID, CFG.spatial_code_ch)).astype(np.float32)
+    )
+    gl = [
+        jnp.asarray(rng.standard_normal((B, CFG.style_dim)).astype(np.float32))
+        for _ in range(4)
+    ]
+    rgb = g.apply(params, sp, gl, rngs={"noise": jax.random.PRNGKey(2)})
+    assert rgb.shape == (B, S, S, 3)
+    rgb2, feat, feat1 = g.apply(
+        params, sp, gl, extract_features=True, rngs={"noise": jax.random.PRNGKey(2)}
+    )
+    assert rgb2.shape == (B, S, S, 3)
+    assert feat.shape == (B, GRID, GRID, 256)
+    # feat1 lives at 4x the structure grid (== 256x256 for 512px inputs)
+    assert feat1.shape == (B, 4 * GRID, 4 * GRID, 64)
+
+
+def test_discriminator_logit(nets, rng):
+    d, params = nets["d"]
+    x = jnp.asarray(rng.standard_normal((B, S, S, 3)).astype(np.float32))
+    out = d.apply(params, x)
+    assert out.shape == (B, 1)
+
+
+def test_param_counts_in_expected_range(nets):
+    # Sanity guard against gross wiring mistakes; reference param counts
+    # (base_network.py printout) put E2 around 25-30M (projector MLPs) and
+    # G as the largest net.
+    def count(tree):
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(tree))
+
+    c_e2 = count(nets["e2"][1])
+    c_g = count(nets["g"][1])
+    c_e1 = count(nets["e1"][1])
+    assert 20e6 < c_e2 < 40e6, c_e2
+    assert c_g > 30e6, c_g
+    assert 0.3e6 < c_e1 < 10e6, c_e1

@@ -1,0 +1,53 @@
+"""Training entry point (reference train.py, minus the
+CUDA_LAUNCH_BLOCKING debugging leftover that serialized its kernels)."""
+
+import ppst_tpu.data as data
+import ppst_tpu.optimizers as optimizers
+from ppst_tpu.evaluation import GroupEvaluator
+from ppst_tpu.options import TrainOptions
+from ppst_tpu.train import create_model
+from ppst_tpu.util import IterationCounter, MetricTracker, Visualizer
+
+
+def main():
+    opt = TrainOptions().parse()
+    model = create_model(opt)
+    dataset = data.create_dataset(opt)
+    iter_counter = IterationCounter(opt)
+    visualizer = Visualizer(opt)
+    metric_tracker = MetricTracker(opt)
+    evaluators = GroupEvaluator(opt)
+    optimizer = optimizers.create_optimizer(opt, model)
+
+    while not iter_counter.completed_training():
+        with iter_counter.time_measurement("data"):
+            cur_data = next(dataset)
+
+        with iter_counter.time_measurement("train"):
+            losses = optimizer.train_one_step(cur_data, iter_counter.steps_so_far)
+            metric_tracker.update_metrics(losses, smoothe=True)
+
+        with iter_counter.time_measurement("maintenance"):
+            if iter_counter.needs_printing():
+                visualizer.print_current_losses(
+                    iter_counter.steps_so_far,
+                    iter_counter.time_measurements,
+                    metric_tracker.current_metrics(),
+                )
+            if iter_counter.needs_saving():
+                optimizer.save(iter_counter.steps_so_far)
+            if iter_counter.needs_evaluation():
+                metrics = evaluators.evaluate(
+                    model, dataset, iter_counter.steps_so_far
+                )
+                metric_tracker.update_metrics(metrics, smoothe=False)
+            if iter_counter.completed_training():
+                break
+            iter_counter.record_one_iteration()
+
+    optimizer.save(iter_counter.steps_so_far)
+    print("Training finished.")
+
+
+if __name__ == "__main__":
+    main()
