@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 
 from ppst_tpu.models.config import PPSTConfig
-from ppst_tpu.models.encoder_col import l2_normalize
 from ppst_tpu.nn.layers import (
     ConvLayer,
     EqualLinear,
@@ -41,6 +40,13 @@ from ppst_tpu.ops.corr import adaptive_avg_pool, resize_bilinear
 
 def _pad_replicate(x, p: int):
     return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="edge")
+
+
+def _style_normalize(v):
+    """The generator's style normalization is v * rsqrt(sum(v^2) + 1e-8)
+    (reference util/util.py:18-22), slightly different from E2's
+    F.normalize-style clamp."""
+    return v * jax.lax.rsqrt(jnp.sum(v**2, axis=-1, keepdims=True) + 1e-8)
 
 
 class GeneratorModulation(nn.Module):
@@ -152,7 +158,7 @@ class Generator(nn.Module):
     def __call__(self, spatial_code, global_codes, extract_features: bool = False):
         cfg = self.cfg
         n_up = cfg.netE_num_downsampling_sp
-        codes = [l2_normalize(c) for c in global_codes]
+        codes = [_style_normalize(c) for c in global_codes]
 
         x = GeneratorModulation(cfg.spatial_code_ch, name="sp_mod")(
             spatial_code, codes[-1]

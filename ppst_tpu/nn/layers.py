@@ -168,21 +168,26 @@ class EqualLinear(nn.Module):
 
 
 class EqualizedLinear(nn.Module):
-    """Linear with He-std init, no runtime scaling in the configuration the
-    model uses (use_wscale=False; reference stylegan2_layers.py:249-273)."""
+    """TF-StyleGAN linear (reference stylegan2_layers.py:249-273).
+
+    use_wscale=True (the StyleMod configuration, via LayerEpilogue's
+    default): N(0,1) init with a runtime gain/sqrt(fan_in) multiplier.
+    use_wscale=False: He-std baked into the init, no runtime scale."""
 
     features: int
     gain: float = 1.0
+    use_wscale: bool = True
 
     @nn.compact
     def __call__(self, x):
         in_dim = x.shape[-1]
-        std = self.gain / math.sqrt(in_dim)
+        he_std = self.gain / math.sqrt(in_dim)
+        init_std, w_mul = (1.0, he_std) if self.use_wscale else (he_std, 1.0)
         w = self.param(
-            "weight", scaled_normal_init(std), (in_dim, self.features), jnp.float32
+            "weight", scaled_normal_init(init_std), (in_dim, self.features), jnp.float32
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        return x @ w.astype(x.dtype) + b.astype(x.dtype)
+        return x @ (w.astype(x.dtype) * w_mul) + b.astype(x.dtype)
 
 
 class EqualizedConv2d(nn.Module):
@@ -248,7 +253,11 @@ class StyleMod(nn.Module):
 
     @nn.compact
     def __call__(self, x, latent):
-        style = EqualizedLinear(self.channels * 2, gain=1.0, name="lin")(latent)
+        # LayerEpilogue constructs StyleMod with use_wscale=True
+        # (reference stylegan2_layers.py:417,427)
+        style = EqualizedLinear(
+            self.channels * 2, gain=1.0, use_wscale=True, name="lin"
+        )(latent)
         scale = style[:, : self.channels][:, None, None, :]
         shift = style[:, self.channels :][:, None, None, :]
         return x * (scale + 1.0) + shift

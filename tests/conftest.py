@@ -22,6 +22,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the G-step graph takes minutes to compile on
+# CPU; cache it across test runs.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_ppst_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import numpy as np
 import pytest

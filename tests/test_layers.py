@@ -103,7 +103,8 @@ def test_style_mod(rng):
         jnp.asarray(x),
         jnp.asarray(lat),
     )
-    style = torch.from_numpy(lat) @ torch.from_numpy(w) + torch.from_numpy(b)
+    # StyleMod's linear is use_wscale=True: runtime 1/sqrt(fan_in) scale
+    style = torch.from_numpy(lat) @ (torch.from_numpy(w) / math.sqrt(10)) + torch.from_numpy(b)
     s = style.view(2, 2, 6)
     want = nchw(x) * (s[:, 0, :, None, None] + 1.0) + s[:, 1, :, None, None]
     np.testing.assert_allclose(np.asarray(got), nhwc(want), rtol=1e-4, atol=1e-5)

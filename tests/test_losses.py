@@ -1,0 +1,79 @@
+"""Loss primitives: LSGAN, RSCL loss/enqueue semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppst_tpu.models.losses import (
+    QUEUE_SIZE,
+    enqueue_schedule,
+    gan_loss,
+    init_rscl_state,
+    rscl_enqueue,
+    rscl_loss,
+)
+
+
+def test_gan_loss_values():
+    pred = jnp.asarray([[0.0], [1.0]])
+    np.testing.assert_allclose(float(gan_loss(pred, True)), 0.5)
+    np.testing.assert_allclose(float(gan_loss(pred, False)), 0.5)
+
+
+def test_rscl_state_normalized():
+    st = init_rscl_state(jax.random.PRNGKey(0))
+    assert st["queues"].shape == (4, 2048, QUEUE_SIZE)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(st["queues"]), axis=1), 1.0, rtol=1e-5
+    )
+
+
+def test_rscl_loss_prefers_aligned_keys(rng):
+    q = jnp.asarray(rng.standard_normal((6, 2048)).astype(np.float32))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    queue = jnp.asarray(rng.standard_normal((2048, QUEUE_SIZE)).astype(np.float32))
+    queue = queue / jnp.linalg.norm(queue, axis=0, keepdims=True)
+    k0 = jnp.asarray(rng.standard_normal((6, 2048)).astype(np.float32))
+    aligned = float(rscl_loss(q, q, k0, queue, 0.07))  # positives == queries
+    misaligned = float(rscl_loss(q, -q, k0, queue, 0.07))
+    assert aligned < misaligned
+
+
+def test_enqueue_schedule_single_device():
+    regions, samples = enqueue_schedule(batch_global=2, n_dev=1)
+    # reference order: key0 rows 0,1,2 then keyw rows 0,1,2 of the
+    # (3B, 2048) region-major stack; B=2 -> (r0,s0),(r0,s1),(r1,s0)
+    assert list(regions) == [0, 0, 1, 0, 0, 1]
+    assert list(samples) == [0, 1, 0, 0, 1, 0]
+
+
+def test_enqueue_schedule_multi_device():
+    regions, samples = enqueue_schedule(batch_global=8, n_dev=4)  # B_local=2
+    # call r gathers row r of each device: global samples d*2 + r%2
+    assert list(samples[:4]) == [0, 2, 4, 6]  # r=0
+    assert list(samples[4:8]) == [1, 3, 5, 7]  # r=1
+    assert list(regions[8:12]) == [1, 1, 1, 1]  # r=2 -> region 1, sample 0
+    assert list(samples[8:12]) == [0, 2, 4, 6]
+
+
+def test_rscl_enqueue_ring(rng):
+    st = init_rscl_state(jax.random.PRNGKey(0))
+    key0 = jnp.asarray(rng.standard_normal((3, 2, 2048)).astype(np.float32))
+    keyw = jnp.asarray(rng.standard_normal((3, 2, 2048)).astype(np.float32))
+    st2 = rscl_enqueue(st, 1, key0, keyw, n_dev=1)
+    assert int(st2["ptrs"][1]) == 6
+    assert int(st2["ptrs"][0]) == 0
+    # first three columns of queue 1 are key0 rows (r0,s0),(r0,s1),(r1,s0)
+    got = np.asarray(st2["queues"][1][:, :3])
+    want = np.stack(
+        [np.asarray(key0[0, 0]), np.asarray(key0[0, 1]), np.asarray(key0[1, 0])], 1
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # other queues untouched
+    np.testing.assert_array_equal(
+        np.asarray(st2["queues"][0]), np.asarray(st["queues"][0])
+    )
+    # wraparound: repeated enqueues cycle mod 128
+    for _ in range(25):
+        st2 = rscl_enqueue(st2, 1, key0, keyw, n_dev=1)
+    assert int(st2["ptrs"][1]) == (6 * 26) % QUEUE_SIZE

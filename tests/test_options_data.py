@@ -1,0 +1,124 @@
+"""Options CLI parsing + data pipeline tests."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ppst_tpu.options import TrainOptions
+
+
+def parse_train(argv):
+    import sys
+
+    old = sys.argv
+    sys.argv = ["train.py"] + argv
+    try:
+        return TrainOptions().parse()
+    finally:
+        sys.argv = old
+
+
+def test_train_options_defaults(tmp_path):
+    opt = parse_train(
+        ["--name", "t", "--checkpoints_dir", str(tmp_path), "--dataset_mode",
+         "synthetic"]
+    )
+    # reference defaults (options/__init__.py, ppst_model.py,
+    # ppst_optimizer.py, iter_counter.py)
+    assert opt.batch_size == 2
+    assert opt.crop_size == 512 and opt.load_size == 512
+    assert opt.spatial_code_ch == 256 and opt.global_code_ch == 2048
+    assert opt.lambda_R1 == 10.0 and opt.lambda_L1 == 3.0
+    assert opt.lambda_StyleCon == 1.0 and opt.lambda_Maskwarp == 10.0
+    assert opt.lambda_Cycwarp == 5.0 and opt.nce_T == 0.07
+    assert opt.lr == 0.001 and opt.beta1 == 0.0 and opt.beta2 == 0.99
+    assert opt.R1_once_every == 16
+    assert opt.total_nimgs == 7000000 and opt.save_freq == 50000
+    assert opt.netG == "StyleGAN2Resnet" and opt.use_antialias is True
+    assert opt.isTrain
+    # opt.txt persisted
+    assert os.path.exists(os.path.join(tmp_path, "t", "opt.txt"))
+
+
+def test_launcher_command_parses(tmp_path):
+    """The CelebA launcher's exact command line must parse."""
+    from ppst_tpu.experiments.CelebA_launcher import Launcher
+
+    cmd = f"python train.py {Launcher().train_options()[0]}"
+    opt = TrainOptions().parse(command=cmd)
+    assert opt.name == "CelebAMaskHQ_default"
+    assert opt.dataset_mode == "CelebAMask"
+    assert opt.preprocess == "resize"
+    assert opt.continue_train is True
+    assert opt.evaluation_metrics == "swap_visualization"
+
+
+def _write_pair_tree(root, n=6, size=96):
+    img_dir = root / "img"
+    msk_dir = root / "label"
+    img_dir.mkdir()
+    msk_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        arr = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{i}.png")
+        m = rng.integers(0, 3, (size, size)).astype(np.uint8)
+        Image.fromarray(m, mode="L").save(msk_dir / f"{i}.png")
+    return str(img_dir), str(msk_dir)
+
+
+def test_celebamask_loader(tmp_path):
+    import ppst_tpu.data as data
+
+    img_dir, msk_dir = _write_pair_tree(tmp_path)
+    opt = parse_train(
+        ["--name", "t", "--checkpoints_dir", str(tmp_path / "ckpt"),
+         "--dataset_mode", "celebamask", "--dataroot", img_dir,
+         "--dataroot2", msk_dir, "--preprocess", "resize",
+         "--load_size", "64", "--crop_size", "64", "--batch_size", "2"]
+    )
+    loader = data.create_dataset(opt)
+    batch = next(loader)
+    assert batch["real_A"].shape == (2, 64, 64, 3)
+    assert batch["mask_A"].shape == (2, 64, 64, 3)
+    assert batch["real_A"].dtype == np.float32
+    assert batch["real_A"].min() >= -1.0 and batch["real_A"].max() <= 1.0
+    # one-hot masks
+    np.testing.assert_allclose(batch["mask_A"].sum(-1), 1.0)
+    # infinite train iteration across epochs
+    for _ in range(5):
+        batch = next(loader)
+    loader._stop_worker()
+
+
+def test_make_power_2_and_scale_shortside(tmp_path):
+    from ppst_tpu.data.base_dataset import get_transform
+
+    class Opt:
+        preprocess = "scale_shortside"
+        load_size = 64
+        crop_size = 64
+        isTrain = False
+        no_flip = True
+
+    img = Image.fromarray(np.zeros((100, 150, 3), np.uint8))
+    out = get_transform(Opt())(img)
+    # short side scaled to 64, long side 96 -> both multiples of 16
+    assert out.shape[0] % 16 == 0 and out.shape[1] % 16 == 0
+    assert min(out.shape[:2]) == 64
+
+
+def test_synthetic_dataset(tmp_path):
+    import ppst_tpu.data as data
+
+    opt = parse_train(
+        ["--name", "t", "--checkpoints_dir", str(tmp_path), "--dataset_mode",
+         "synthetic", "--crop_size", "64", "--batch_size", "4"]
+    )
+    loader = data.create_dataset(opt)
+    batch = next(loader)
+    assert batch["real_A"].shape == (4, 64, 64, 3)
+    assert batch["mask_A"].shape == (4, 64, 64, 3)
+    loader._stop_worker()
