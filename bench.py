@@ -30,9 +30,16 @@ def main():
     from ppst_tpu.models.config import PPSTConfig
     from ppst_tpu.models.ppst import PPSTModel
 
+    from ppst_tpu.util.fast_init import random_params_like
+
     cfg = PPSTConfig(crop_size=CROP)
     model = PPSTModel(cfg)
-    params, _ = model.init(jax.random.PRNGKey(0), CROP)
+    # eval_shape + host RNG: skips compiling the init graph (bench only
+    # measures forward compute; weight values don't change its cost)
+    full = random_params_like(
+        lambda: model.init(jax.random.PRNGKey(0), CROP), seed=0
+    )
+    params = jax.device_put(full[0])
 
     @jax.jit
     def stylize(params, content, style, rng):
