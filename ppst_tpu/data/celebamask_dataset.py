@@ -23,6 +23,17 @@ from ppst_tpu.data.image_folder import make_dataset
 class CelebAMaskDataset(BaseDataset):
     NUM_CLASSES = 3
 
+    @staticmethod
+    def modify_commandline_options(parser, is_train):
+        from ppst_tpu.util.util import str2bool
+
+        parser.add_argument(
+            "--native_io", type=str2bool, default=False,
+            help="use the native C++ resize/normalize/one-hot kernels "
+                 "(native/libppst_io.so) for the 'resize' preprocess path",
+        )
+        return parser
+
     def __init__(self, opt):
         super().__init__(opt)
         self.A_paths = sorted(make_dataset(opt.dataroot))
@@ -31,6 +42,15 @@ class CelebAMaskDataset(BaseDataset):
             f"image/mask count mismatch: {len(self.A_paths)} vs {len(self.B_paths)}"
         )
         self.rng = random.Random(getattr(opt, "seed", 0))
+        from ppst_tpu.data import native as native_io
+
+        self.native = (
+            native_io
+            if getattr(opt, "native_io", False)
+            and native_io.available()
+            and opt.preprocess == "resize"
+            else None
+        )
 
     def __len__(self):
         return len(self.A_paths)
@@ -46,6 +66,19 @@ class CelebAMaskDataset(BaseDataset):
             return self[self.rng.randrange(len(self))]
 
         params = sample_transform_params(self.opt, img.size, self.rng)
+        if self.native is not None:
+            # GIL-free C++ hot path (resize preprocess only)
+            size = (self.opt.load_size, self.opt.load_size)
+            flip = bool(params.get("flip"))
+            a = self.native.to_pm1(
+                self.native.resize_u8(np.asarray(img), size), flip=flip
+            )
+            labels = self.native.resize_u8(
+                np.asarray(msk), size, nearest=True
+            )[..., 0]
+            one_hot = self.native.one_hot_mask(labels, self.NUM_CLASSES, flip=flip)
+            return {"real_A": a, "mask_A": one_hot, "path_A": a_path}
+
         img = apply_transform(self.opt, img, params)
         msk = apply_transform(self.opt, msk, params, method=Image.NEAREST)
 
