@@ -1,54 +1,97 @@
 """Benchmark: 512px stylized portraits/sec/chip, end-to-end
 simple-swapping pipeline (encode content + encode style + dense
-correspondence + style warp + decode) on one chip.
+correspondence + style warp + decode with in-graph guided filter) on one
+chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline: the reference publishes no throughput numbers
-(BASELINE.md). ``vs_baseline`` is therefore computed against an analytic
-estimate of the reference CUDA pipeline on its era-typical GPU: ~1.1
-TFLOP per stylized pair (2x feature extraction + corrm + E2 warp +
-decode, fp32 torch, unfused) on a 2080Ti-class card at ~30% MFU
-(~13.4 TF/s) with per-image CPU guided-filter excluded -> ~12 pairs/s.
-Revisit when a measured reference number exists.
+The pipeline runs as the same staged jitted functions the evaluators use
+(one monolithic jit of the whole pipeline triggers a pathological XLA
+optimization blow-up — stages compile in ~4 min total and are cached
+persistently, while per-stage steady-state is ~1-3 ms).
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md).
+``vs_baseline`` is computed against an analytic estimate of the reference
+CUDA pipeline on its era-typical GPU: ~1.1 TFLOP per stylized pair (2x
+feature extraction + corrm + E2 warp + decode, fp32 torch, unfused) on a
+2080Ti-class card at ~30% MFU (~13.4 TF/s) -> ~12 pairs/s, and that
+EXCLUDES the reference's per-image CPU guided filter (~10 Hz by itself,
+included in our measurement). Revisit when a measured reference number
+exists.
 """
 
 import json
-import sys
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache: the 512px graphs take minutes to compile
+# through the remote-compile tunnel; cache the executables.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("PPST_JAX_CACHE", "/root/.cache/jax_ppst_tpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 REFERENCE_PAIRS_PER_SEC = 12.0
-CROP = 512
-BATCH = 4
-ITERS = 10
+CROP = int(os.environ.get("PPST_BENCH_CROP", "512"))
+BATCH = int(os.environ.get("PPST_BENCH_BATCH", "4"))
+ITERS = int(os.environ.get("PPST_BENCH_ITERS", "20"))
+SMOOTH = os.environ.get("PPST_BENCH_SMOOTH", "1") == "1"
 
 
-def main():
+def build_pipeline():
     from ppst_tpu.models.config import PPSTConfig
     from ppst_tpu.models.ppst import PPSTModel
-
+    from ppst_tpu.ops.corr import corrm, rselfcorr
     from ppst_tpu.util.fast_init import random_params_like
 
     cfg = PPSTConfig(crop_size=CROP)
     model = PPSTModel(cfg)
-    # eval_shape + host RNG: skips compiling the init graph (bench only
-    # measures forward compute; weight values don't change its cost)
     full = random_params_like(
         lambda: model.init(jax.random.PRNGKey(0), CROP), seed=0
     )
     params = jax.device_put(full[0])
 
     @jax.jit
-    def stylize(params, content, style, rng):
-        r_corr, r_dec = jax.random.split(rng)
-        sp, _ = model.encode(params, content)
-        corr = model.correspondence_from_images(params, content, style, r_corr)
-        out = model.e2.apply({"params": params["E2"]}, style, corrmatrix=corr)
-        return model.decode(params, sp, out.vectors_w, r_dec)
+    def encode_content(params, img, rng):
+        sp = model.apply_e1(params, img)
+        vec = model.apply_e2(params, img).vectors
+        _, fea, fea1 = model.apply_g(params, sp, vec, rng, extract_features=True)
+        return sp, jnp.concatenate([fea, rselfcorr(fea1)], axis=-1)
 
+    @jax.jit
+    def encode_style(params, img, rng):
+        sp = model.apply_e1(params, img)
+        vec = model.apply_e2(params, img).vectors
+        _, fea, fea1 = model.apply_g(params, sp, vec, rng, extract_features=True)
+        return jnp.concatenate([fea, rselfcorr(fea1)], axis=-1)
+
+    @jax.jit
+    def correspond_and_warp(params, style_img, desc_s, desc_c):
+        corr = corrm(desc_s, desc_c)
+        return model.apply_e2(params, style_img, corrmatrix=corr).vectors_w
+
+    @jax.jit
+    def decode(params, sp, gl_w, rng, content):
+        return model.decode(
+            params, sp, gl_w, rng, target=content if SMOOTH else None
+        )
+
+    def stylize(params, content, style, rng):
+        r_c, r_s, r_d = jax.random.split(rng, 3)
+        sp, desc_c = encode_content(params, content, r_c)
+        desc_s = encode_style(params, style, r_s)
+        gl_w = correspond_and_warp(params, style, desc_s, desc_c)
+        return decode(params, sp, list(gl_w), r_d, content)
+
+    return params, stylize
+
+
+def main():
+    params, stylize = build_pipeline()
     key = jax.random.PRNGKey(1)
     content = jax.random.normal(key, (BATCH, CROP, CROP, 3), jnp.float32) * 0.3
     style = jnp.roll(content, 1, axis=0)
@@ -66,7 +109,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "stylized_portraits_per_sec_per_chip_512px",
+                "metric": f"stylized_portraits_per_sec_per_chip_{CROP}px",
                 "value": round(pairs_per_sec, 3),
                 "unit": "pairs/s",
                 "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 3),

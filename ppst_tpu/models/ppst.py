@@ -280,6 +280,40 @@ class PPSTModel:
         smoothed = guided_filter(guide255, out255, radius=30, eps=(0.02 * 255.0) ** 2)
         return smoothed / 127.5 - 1.0
 
+    def stylize(self, params, content, style, rng, alpha: float = 1.0,
+                smooth_target: bool = False):
+        """Fused end-to-end stylization (the simple_swapping pipeline,
+        reference simple_swapping_evaluator.py:38-76) computing each
+        encoder pass exactly once — the reference re-runs E1/E2 on the
+        content image inside both ``encode`` and
+        ``extract_feat_from_image``; this shares them.
+
+        With ``smooth_target`` the guided-filter post-processing runs on
+        the content image in the same XLA program."""
+        r_c, r_s, r_dec = jax.random.split(rng, 3)
+
+        def image_desc(img, r):
+            sp = self.apply_e1(params, img)
+            vec = self.apply_e2(params, img).vectors
+            _, fea, fea1 = self.apply_g(params, sp, vec, r, extract_features=True)
+            desc = jnp.concatenate([fea, rselfcorr(fea1)], axis=-1)
+            return sp, vec, desc
+
+        sp_c, vec_c, desc_c = image_desc(content, r_c)
+        _, _, desc_s = image_desc(style, r_s)
+        corr = corrm(desc_s, desc_c)
+        gl_w = self.e2.apply(
+            {"params": params["E2"]},
+            style,
+            corrmatrix=corr,
+            corr_out_hw=(desc_c.shape[1], desc_c.shape[2]),
+        ).vectors_w
+        if alpha != 1.0:
+            gl_w = [a * (1 - alpha) + b * alpha for a, b in zip(vec_c, gl_w)]
+        return self.decode(
+            params, sp_c, gl_w, r_dec, target=content if smooth_target else None
+        )
+
     def correspondence_from_images(self, params, img_c, img_s, rng):
         """content+style images -> corr matrix (reference
         simple_swapping_evaluator.py:47-53)."""

@@ -64,10 +64,12 @@ def torch_bias_uniform_init(fan_in: int):
 
 def instance_norm(x, eps: float = 1e-5):
     """Per-sample per-channel spatial normalization (torch InstanceNorm2d
-    defaults: no affine, biased variance, eps=1e-5). x is NHWC."""
-    mean = x.mean(axis=(1, 2), keepdims=True)
-    var = x.var(axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    defaults: no affine, biased variance, eps=1e-5). x is NHWC. Statistics
+    are computed in float32 so the bf16 compute mode stays stable."""
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=(1, 2), keepdims=True)
+    var = x32.var(axis=(1, 2), keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def pixel_norm(x, eps: float = 1e-8):

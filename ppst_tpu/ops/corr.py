@@ -60,13 +60,18 @@ def corrm(fea, fea0, temperature: float = 0.01, split: int = 256):
     shape (B, L, L) with L = H*W.
     """
 
+    in_dtype = fea.dtype
+
     def _norm(x):
         b, h, w, c = x.shape
-        x = x.reshape(b, h * w, c)
+        x = x.reshape(b, h * w, c).astype(jnp.float32)
         head, tail = x[..., :split], x[..., split:]
         head = head - head.mean(axis=-1, keepdims=True)
         x = jnp.concatenate([head, tail], axis=-1)
-        return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + _NORM_EPS)
+        x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + _NORM_EPS)
+        # matmul runs in the caller's compute dtype (bf16 MXU when asked);
+        # accumulation stays f32 via preferred_element_type below
+        return x.astype(in_dtype)
 
     q = _norm(fea0)  # target positions (rows)
     k = _norm(fea)  # source positions (cols)

@@ -66,7 +66,14 @@ class PPSTOptimizer:
             losses = self.train_discriminator_one_step(images, mask)
         else:
             losses = self.train_generator_one_step(images, mask)
-        return {k: np.asarray(v) for k, v in losses.items()}
+        out = {k: np.asarray(v) for k, v in losses.items()}
+        if getattr(self.opt, "debug_nan", False):
+            bad = [k for k, v in out.items() if not np.isfinite(v).all()]
+            if bad:
+                raise FloatingPointError(
+                    f"non-finite losses at step {total_steps_so_far}: {bad}"
+                )
+        return out
 
     def train_discriminator_one_step(self, images, mask):
         if self.cfg.lambda_GAN == 0.0:

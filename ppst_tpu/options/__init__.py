@@ -64,6 +64,13 @@ class BaseOptions:
         parser.add_argument("--dtype", type=str, default="float32",
                             choices=("float32", "bfloat16"),
                             help="compute dtype for the conv stacks")
+        # observability (SURVEY.md 5.1/5.2 TPU equivalents)
+        parser.add_argument("--profile_dir", type=str, default=None,
+                            help="write a jax.profiler trace of steps "
+                                 "10-14 to this directory")
+        parser.add_argument("--debug_nan", type=str2bool, default=False,
+                            help="raise on non-finite losses after every "
+                                 "step (checkify-style guard)")
         return parser
 
     def gather_options(self, command=None):

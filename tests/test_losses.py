@@ -39,6 +39,34 @@ def test_rscl_loss_prefers_aligned_keys(rng):
     assert aligned < misaligned
 
 
+def test_rscl_loss_matches_torch_oracle(rng):
+    """Logit-level parity with the reference rsclLoss forward
+    (rscl.py:42-65): [l_pos | in-batch block | queue+k0 negatives] / T,
+    cross-entropy on index 0. The in-batch block is constant -10 there
+    because the eye(1) diagonal mask broadcasts over the whole matrix."""
+    import torch
+    import torch.nn.functional as TF
+
+    n, k = 6, QUEUE_SIZE
+    q = rng.standard_normal((n, 2048)).astype(np.float32)
+    kk = rng.standard_normal((n, 2048)).astype(np.float32)
+    k0 = rng.standard_normal((n, 2048)).astype(np.float32)
+    queue = rng.standard_normal((2048, k)).astype(np.float32)
+
+    tq, tk, tk0, tqueue = map(torch.from_numpy, (q, kk, k0, queue))
+    l_pos = (tq * tk).sum(-1, keepdim=True)
+    negs = torch.cat([tqueue, tk0.t()], dim=1)
+    l_neg2 = tq @ negs
+    l_neg1 = torch.full((n, n), -10.0)
+    logits = torch.cat([l_pos, l_neg1, l_neg2], dim=1) / 0.07
+    want = TF.cross_entropy(logits, torch.zeros(n, dtype=torch.long))
+
+    got = rscl_loss(
+        jnp.asarray(q), jnp.asarray(kk), jnp.asarray(k0), jnp.asarray(queue), 0.07
+    )
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
 def test_enqueue_schedule_single_device():
     regions, samples = enqueue_schedule(batch_global=2, n_dev=1)
     # reference order: key0 rows 0,1,2 then keyw rows 0,1,2 of the

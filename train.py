@@ -19,13 +19,29 @@ def main():
     evaluators = GroupEvaluator(opt)
     optimizer = optimizers.create_optimizer(opt, model)
 
+    profiling = False
+    step_idx = 0
     while not iter_counter.completed_training():
+        if opt.profile_dir:
+            # jax.profiler trace of a steady-state window (SURVEY.md 5.1)
+            if step_idx == 10 and not profiling:
+                import jax
+
+                jax.profiler.start_trace(opt.profile_dir)
+                profiling = True
+            elif step_idx == 15 and profiling:
+                import jax
+
+                jax.profiler.stop_trace()
+                profiling = False
+
         with iter_counter.time_measurement("data"):
             cur_data = next(dataset)
 
         with iter_counter.time_measurement("train"):
             losses = optimizer.train_one_step(cur_data, iter_counter.steps_so_far)
             metric_tracker.update_metrics(losses, smoothe=True)
+        step_idx += 1
 
         with iter_counter.time_measurement("maintenance"):
             if iter_counter.needs_printing():
