@@ -12,12 +12,12 @@ persistently, while per-stage steady-state is ~1-3 ms).
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md).
 ``vs_baseline`` is computed against an analytic estimate of the reference
-CUDA pipeline on its era-typical GPU: ~1.1 TFLOP per stylized pair (2x
-feature extraction + corrm + E2 warp + decode, fp32 torch, unfused) on a
-2080Ti-class card at ~30% MFU (~13.4 TF/s) -> ~12 pairs/s, and that
-EXCLUDES the reference's per-image CPU guided filter (~10 Hz by itself,
-included in our measurement). Revisit when a measured reference number
-exists.
+CUDA pipeline: ~2.35 TFLOP per stylized pair (2x feature extraction
+1.43 TF + decode 0.68 TF + E1/E2/corr 0.24 TF, fp32 torch) on a
+3090-class fp32 GPU at ~40% MFU (~14 TF/s) -> ~6 pairs/s, and that
+EXCLUDES the reference's per-image CPU guided filter (~10-30 Hz by
+itself, included in our measurement). Full derivation in BASELINE.md;
+revisit when a measured reference number exists.
 """
 
 import json
@@ -35,11 +35,14 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
-REFERENCE_PAIRS_PER_SEC = 12.0
+REFERENCE_PAIRS_PER_SEC = 6.0
 CROP = int(os.environ.get("PPST_BENCH_CROP", "512"))
 BATCH = int(os.environ.get("PPST_BENCH_BATCH", "4"))
 ITERS = int(os.environ.get("PPST_BENCH_ITERS", "20"))
 SMOOTH = os.environ.get("PPST_BENCH_SMOOTH", "1") == "1"
+DTYPE = jnp.bfloat16 if os.environ.get(
+    "PPST_BENCH_DTYPE", "bfloat16"
+) == "bfloat16" else jnp.float32
 
 
 def build_pipeline():
@@ -93,16 +96,21 @@ def build_pipeline():
 def main():
     params, stylize = build_pipeline()
     key = jax.random.PRNGKey(1)
-    content = jax.random.normal(key, (BATCH, CROP, CROP, 3), jnp.float32) * 0.3
+    content = (jax.random.normal(key, (BATCH, CROP, CROP, 3), jnp.float32) * 0.3
+               ).astype(DTYPE)
     style = jnp.roll(content, 1, axis=0)
 
-    # warmup / compile
-    stylize(params, content, style, jax.random.PRNGKey(2)).block_until_ready()
+    import numpy as np
+
+    # warmup / compile; fetch a scalar to force real device completion
+    # (block_until_ready does not synchronize through the axon relay)
+    out = stylize(params, content, style, jax.random.PRNGKey(2))
+    float(np.asarray(out[0, 0, 0, 0]))
 
     t0 = time.perf_counter()
     for i in range(ITERS):
         out = stylize(params, content, style, jax.random.PRNGKey(3 + i))
-    out.block_until_ready()
+    float(np.asarray(out[0, 0, 0, 0]))  # forces the whole chain
     dt = time.perf_counter() - t0
 
     pairs_per_sec = BATCH * ITERS / dt

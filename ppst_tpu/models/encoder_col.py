@@ -45,9 +45,11 @@ class E2Output(NamedTuple):
 
 
 def l2_normalize(x, eps: float = 1e-12):
-    """torch F.normalize(dim=-1): divide by max(||x||, eps)."""
-    n = jnp.linalg.norm(x, axis=-1, keepdims=True)
-    return x / jnp.maximum(n, eps)
+    """torch F.normalize(dim=-1): divide by max(||x||, eps). The norm is
+    computed in f32 so the bf16 compute mode stays stable."""
+    x32 = x.astype(jnp.float32)
+    n = jnp.linalg.norm(x32, axis=-1, keepdims=True)
+    return (x32 / jnp.maximum(n, eps)).astype(x.dtype)
 
 
 def batch_swap(x):

@@ -45,8 +45,10 @@ def _pad_replicate(x, p: int):
 def _style_normalize(v):
     """The generator's style normalization is v * rsqrt(sum(v^2) + 1e-8)
     (reference util/util.py:18-22), slightly different from E2's
-    F.normalize-style clamp."""
-    return v * jax.lax.rsqrt(jnp.sum(v**2, axis=-1, keepdims=True) + 1e-8)
+    F.normalize-style clamp. f32 internally for bf16-mode stability."""
+    v32 = v.astype(jnp.float32)
+    out = v32 * jax.lax.rsqrt(jnp.sum(v32**2, axis=-1, keepdims=True) + 1e-8)
+    return out.astype(v.dtype)
 
 
 class GeneratorModulation(nn.Module):
@@ -68,10 +70,10 @@ class ResolutionPreservingResnetBlock(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x, style):
+    def __call__(self, x, style, noises=(None, None)):
         in_ch = x.shape[-1]
-        res = StyledConv(self.features, 3, name="conv1")(x, style)
-        res = StyledConv(self.features, 3, name="conv2")(res, style)
+        res = StyledConv(self.features, 3, name="conv1")(x, style, noises[0])
+        res = StyledConv(self.features, 3, name="conv2")(res, style, noises[1])
         skip = x
         if in_ch != self.features:
             skip = ConvLayer(
@@ -88,14 +90,14 @@ class UpsamplingResnetBlock(nn.Module):
     use_noise: bool = False
 
     @nn.compact
-    def __call__(self, x, style):
+    def __call__(self, x, style, noises=(None, None)):
         in_ch = x.shape[-1]
         res = StyledConv(
             self.features, 3, upsample=True, use_noise=self.use_noise, name="conv1"
-        )(x, style)
+        )(x, style, noises[0])
         res = StyledConv(
             self.features, 3, use_noise=self.use_noise, name="conv2"
-        )(res, style)
+        )(res, style, noises[1])
         skip = x
         if in_ch != self.features:
             skip = ConvLayer(self.features, 1, activate=True, use_bias=True, name="skip")(x)
@@ -155,10 +157,27 @@ class Generator(nn.Module):
     cfg: PPSTConfig
 
     @nn.compact
-    def __call__(self, spatial_code, global_codes, extract_features: bool = False):
+    def __call__(
+        self,
+        spatial_code,
+        global_codes,
+        extract_features: bool = False,
+        noises=None,
+    ):
+        """``noises``: optional flat list of fixed per-StyledConv noise
+        arrays in call order (2 per head block, then 2 per upsampling
+        block) — the fix_noise capability (reference ppst_model.py:250-262,
+        base_network.py:41-49). ``make_fixed_noise`` builds a matching list.
+        """
         cfg = self.cfg
         n_up = cfg.netE_num_downsampling_sp
         codes = [_style_normalize(c) for c in global_codes]
+        noise_it = iter(noises) if noises is not None else None
+
+        def take2():
+            if noise_it is None:
+                return (None, None)
+            return (next(noise_it), next(noise_it))
 
         x = GeneratorModulation(cfg.spatial_code_ch, name="sp_mod")(
             spatial_code, codes[-1]
@@ -166,7 +185,9 @@ class Generator(nn.Module):
         for i in range(cfg.netG_num_base_resnet_layers):
             out_ch = (i + 1) / cfg.netG_num_base_resnet_layers * cfg.nf_g(0)
             out_ch = max(cfg.spatial_code_ch, round(out_ch))
-            x = ResolutionPreservingResnetBlock(out_ch, name=f"head{i}")(x, codes[-1])
+            x = ResolutionPreservingResnetBlock(out_ch, name=f"head{i}")(
+                x, codes[-1], take2()
+            )
 
         feas = []
         if extract_features:
@@ -176,7 +197,7 @@ class Generator(nn.Module):
         for j in range(n_up):
             x = UpsamplingResnetBlock(
                 cfg.nf_g(j + 1), use_noise=cfg.netG_use_noise, name=f"up{2 ** (4 + j)}"
-            )(x, codes[-2 - j])
+            )(x, codes[-2 - j], take2())
             if extract_features:
                 feas.append(
                     _FeatureTap(conv1x1=(j == n_up - 1), name=f"tap{2 ** (6 + j)}")(
@@ -202,3 +223,22 @@ class Generator(nn.Module):
         feat1 = _ResidualBlock(256, name="fuse1_res")(feat1)
         feat1 = TorchConv2d(64, 1, name="fuse1_conv")(feat1)
         return rgb, feat, feat1
+
+
+def make_fixed_noise(cfg: PPSTConfig, rng, batch: int, crop: int):
+    """Sample a fixed noise list for flicker-free inference (the
+    fix_noise capability): one (B, H, W, 1) array per StyledConv in call
+    order. Pass to Generator.__call__/PPSTModel.decode via ``noises``."""
+    grid = crop // (2 ** cfg.netE_num_downsampling_sp)
+    shapes = []
+    for _ in range(cfg.netG_num_base_resnet_layers):
+        shapes += [grid, grid]
+    h = grid
+    for _ in range(cfg.netE_num_downsampling_sp):
+        h *= 2
+        shapes += [h, h]
+    keys = jax.random.split(rng, len(shapes))
+    return [
+        jax.random.normal(k, (batch, s, s, 1), jnp.float32)
+        for k, s in zip(keys, shapes)
+    ]

@@ -84,12 +84,14 @@ class PPSTModel:
             {"params": params["E2"]}, x, corrmatrix=corrmatrix, mask=mask
         )
 
-    def apply_g(self, params, sp, gl, rng, extract_features: bool = False):
+    def apply_g(self, params, sp, gl, rng, extract_features: bool = False,
+                noises=None):
         return self.g.apply(
             {"params": params["G"]},
             sp,
             list(gl),
             extract_features=extract_features,
+            noises=noises,
             rngs={"noise": rng},
         )
 
@@ -268,11 +270,12 @@ class PPSTModel:
         _, fea, fea1 = self.apply_g(params, sp, gl, rng, extract_features=True)
         return fea, fea1
 
-    def decode(self, params, sp, gl, rng, target=None):
+    def decode(self, params, sp, gl, rng, target=None, noises=None):
         """G forward; with ``target`` the guided-filter post-processing runs
         in the same XLA program (the reference round-trips through
-        CPU/OpenCV per image here, ppst_model.py:288-306)."""
-        out = self.apply_g(params, sp, gl, rng)
+        CPU/OpenCV per image here, ppst_model.py:288-306). ``noises`` pins
+        the noise injection (fix_noise capability)."""
+        out = self.apply_g(params, sp, gl, rng, noises=noises)
         if target is None:
             return out
         out255 = (jnp.clip(out, -1.0, 1.0) + 1.0) * 127.5

@@ -38,13 +38,15 @@ def rselfcorr(fea, patch: int = 4):
     b, h, w, c = fea.shape
     ph, pw = h // patch, w // patch
     e = patch * patch
-    # (B, ph, pw, e, C): windows with their pixels flattened.
-    v = fea.reshape(b, ph, patch, pw, patch, c)
+    # (B, ph, pw, e, C): windows with their pixels flattened. Statistics
+    # in f32 for bf16-mode stability; the descriptor returns in the
+    # caller's compute dtype.
+    v = fea.astype(jnp.float32).reshape(b, ph, patch, pw, patch, c)
     v = v.transpose(0, 1, 3, 2, 4, 5).reshape(b, ph, pw, e, c)
     v = v - v.mean(axis=-1, keepdims=True)
     v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + _NORM_EPS)
     gram = jnp.einsum("bpqec,bpqfc->bpqef", v, v)
-    return gram.reshape(b, ph, pw, e * e)
+    return gram.reshape(b, ph, pw, e * e).astype(fea.dtype)
 
 
 def corrm(fea, fea0, temperature: float = 0.01, split: int = 256):
@@ -78,6 +80,7 @@ def corrm(fea, fea0, temperature: float = 0.01, split: int = 256):
     logits = jnp.einsum(
         "bic,bjc->bij", q, k, preferred_element_type=jnp.float32
     ) / temperature
+    # softmax in f32; downstream warps cast to their value dtype
     return jax.nn.softmax(logits, axis=-1)
 
 
@@ -104,11 +107,17 @@ def warp(fea, corr, out_hw=None):
         ph, pw = h // s, w // s
         blocks = fea.reshape(b, ph, s, pw, s, c)
         blocks = blocks.transpose(0, 1, 3, 2, 4, 5).reshape(b, ph * pw, s * s * c)
-        out = jnp.einsum("bij,bjd->bid", corr, blocks)
+        out = jnp.einsum(
+            "bij,bjd->bid", corr.astype(fea.dtype), blocks,
+            preferred_element_type=jnp.float32,
+        ).astype(fea.dtype)
         out = out.reshape(b, ph, pw, s, s, c).transpose(0, 1, 3, 2, 4, 5)
         return out.reshape(b, h, w, c)
     flat = fea.reshape(b, h * w, c)
-    out = jnp.einsum("bij,bjc->bic", corr, flat)
+    out = jnp.einsum(
+        "bij,bjc->bic", corr.astype(fea.dtype), flat,
+        preferred_element_type=jnp.float32,
+    ).astype(fea.dtype)
     if out_hw is None:
         if lq == h * w:
             out_hw = (h, w)

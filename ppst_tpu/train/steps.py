@@ -76,7 +76,11 @@ def build_train_steps(
         return params, new_state, opt_states, losses
 
     def d_step(params, state, opt_states, real, mask, rng):
-        return _d_update(params, state, opt_states, real, mask, rng)
+        params, state, opt_states, losses = _d_update(
+            params, state, opt_states, real, mask, rng
+        )
+        losses["D_total"] = sum(losses.values())
+        return params, state, opt_states, losses
 
     def d_step_r1(params, state, opt_states, real, mask, rng):
         """D update followed by a separate lazy-R1 update on the freshly

@@ -1,0 +1,182 @@
+"""End-to-end LOSS parity: run the reference PPSTModel's
+compute_discriminator_losses / compute_generator_losses (torch CPU,
+fallback kernels) against ppst_tpu's loss functions with identical
+converted weights, identical inputs, and identical RSCL queues.
+
+This exercises the full training-loss stack — correspondence, E2
+warp/mask paths, reconstruction/mix/cyc generation, RSCL, GAN terms — in
+one shot. The cycle-warp LPIPS term is disabled (lambda_Cycwarp=0): the
+reference's lpips package would need pretrained AlexNet weights that
+cannot be downloaded here.
+
+Runs at 512px (the reference's warp helpers hard-code the 64-grid and
+break at other sizes), so it is slow on first compile; subsequent runs
+hit the persistent cache.
+"""
+
+import argparse
+import importlib
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+CROP = 512
+B = 2
+
+pytestmark = pytest.mark.slow
+
+
+def _stub_modules():
+    fake_util = types.ModuleType("util")
+    fake_util.is_custom_kernel_supported = lambda: False
+    fake_util.str2bool = lambda v: v if isinstance(v, bool) else str(v).lower() in (
+        "true", "1")
+
+    def _normalize(v):
+        if isinstance(v, list):
+            return [_normalize(x) for x in v]
+        return v * torch.rsqrt(torch.sum(v**2, dim=1, keepdim=True) + 1e-8)
+
+    fake_util.normalize = _normalize
+    sys.modules["util"] = fake_util
+
+    fake_lpips = types.ModuleType("lpips")
+
+    class _LPIPS(torch.nn.Module):
+        def __init__(self, net=None):
+            super().__init__()
+
+        def forward(self, a, b):
+            return torch.zeros(a.shape[0], 1, 1, 1)
+
+    fake_lpips.LPIPS = _LPIPS
+    sys.modules["lpips"] = fake_lpips
+
+    # reference packaging bug: models/networks/rscl.py does not exist;
+    # load networks/rscl.py under that name (SURVEY.md 0.1-2)
+    spec = importlib.util.spec_from_file_location(
+        "models.networks.rscl", f"{REF}/networks/rscl.py"
+    )
+    rscl_mod = importlib.util.module_from_spec(spec)
+    sys.modules["models.networks.rscl"] = rscl_mod
+
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    spec.loader.exec_module(rscl_mod)
+
+
+def ref_opt():
+    return argparse.Namespace(
+        isTrain=True, num_gpus=0, continue_train=False,
+        use_antialias=True, crop_size=CROP, num_classes=0,
+        spatial_code_ch=256, global_code_ch=2048,
+        lambda_R1=10.0, lambda_L1=3.0, lambda_GAN=1.0, training_stage=2,
+        lambda_StyleCon=1.0, lambda_Maskwarp=10.0, lambda_Cycwarp=0.0,
+        match_kernel=1, nce_T=0.07,
+        netE1="StyleGAN2Resnet", netE2="StyleGAN2Resnet",
+        netG="StyleGAN2Resnet", netD="StyleGAN2",
+        netE_scale_capacity=1.0, netE_num_downsampling_sp=3,
+        netE_num_downsampling_gl=2, netE_nc_steepness=2.0,
+        netE2_scale_capacity=1.0, netE2_num_downsampling_gl1=3,
+        netE2_num_downsampling_gl2=0, netE2_nc_steepness=2.0,
+        netG_scale_capacity=1.0, netG_num_base_resnet_layers=4,
+        netG_use_noise=True, netG_resnet_ch=256,
+        netD_scale_capacity=1.0,
+    )
+
+
+@pytest.fixture(scope="module")
+def setups(rng):
+    _stub_modules()
+    torch.manual_seed(0)
+    ppst_model = importlib.import_module("models.ppst_model")
+    ref = ppst_model.PPSTModel(ref_opt())
+    ref.initialize()
+    ref.eval()
+
+    from ppst_tpu.models.config import PPSTConfig
+    from ppst_tpu.models.ppst import PPSTModel as MyModel
+    from ppst_tpu.util.convert_torch import convert_reference_state_dict
+
+    sd = ref.state_dict()
+    params = convert_reference_state_dict(sd, CROP)
+    cfg = PPSTConfig(crop_size=CROP, lambda_Cycwarp=0.0)
+    mine = MyModel(cfg)
+    state = {
+        "rscl": {
+            "queues": jnp.stack(
+                [jnp.asarray(sd[f"criterionNCE.queue_data_A{i}"].numpy())
+                 for i in range(4)]
+            ),
+            "ptrs": jnp.zeros((4,), jnp.int32),
+        },
+        "num_d_iters": jnp.zeros((), jnp.int32),
+    }
+
+    real = (rng.standard_normal((B, CROP, CROP, 3)).astype(np.float32) * 0.4).clip(-1, 1)
+    region = rng.integers(0, 3, (B, CROP // 16, CROP // 16))
+    region = np.kron(region, np.ones((1, 16, 16), np.int64))
+    mask = np.stack([(region == i) for i in range(3)], -1).astype(np.float32)
+    return ref, mine, params, state, real, mask
+
+
+def nchw(x):
+    return torch.from_numpy(np.ascontiguousarray(np.moveaxis(x, -1, 1)))
+
+
+def _compare(ref_losses, my_losses, keys, rtol):
+    for k in keys:
+        want = float(ref_losses[k].detach().float().mean())
+        got = float(np.asarray(my_losses[k]))
+        assert abs(got - want) <= rtol * max(abs(want), 0.05), (
+            f"{k}: mine={got} ref={want}"
+        )
+
+
+def test_discriminator_loss_parity(setups):
+    ref, mine, params, state, real, mask = setups
+    with torch.no_grad():
+        ref_losses, _, _, _ = ref.compute_discriminator_losses(
+            nchw(real), nchw(mask)
+        )
+    my_losses, _ = mine.discriminator_losses(
+        params, state, jnp.asarray(real), jnp.asarray(mask), jax.random.PRNGKey(0)
+    )
+    _compare(ref_losses, my_losses, ["D_real", "D_rec", "D_mix"], rtol=0.05)
+
+
+def test_generator_loss_parity(setups):
+    ref, mine, params, state, real, mask = setups
+    with torch.no_grad():
+        ref_losses, ref_metrics = ref.compute_generator_losses(
+            nchw(real), None, None, nchw(mask)
+        )
+    my_losses, my_metrics, _ = mine.generator_losses(
+        params, state, jnp.asarray(real), jnp.asarray(mask), jax.random.PRNGKey(0)
+    )
+    _compare(
+        ref_losses,
+        my_losses,
+        ["G_L1", "Mask_warp", "G_L1_cyc", "G_styleContmix", "G_styleContrec",
+         "G_GAN_rec", "G_GAN_mix"],
+        rtol=0.08,
+    )
+    _compare(ref_metrics, my_metrics, ["L1_dist"], rtol=0.08)
+
+
+def test_r1_loss_parity(setups):
+    ref, mine, params, state, real, mask = setups
+    real_t = nchw(real)
+    ref_losses = ref.compute_R1_loss(real_t)
+    my_losses = mine.r1_loss(params, jnp.asarray(real))
+    _compare(ref_losses, my_losses, ["D_R1"], rtol=0.05)
