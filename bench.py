@@ -43,6 +43,9 @@ SMOOTH = os.environ.get("PPST_BENCH_SMOOTH", "1") == "1"
 DTYPE = jnp.bfloat16 if os.environ.get(
     "PPST_BENCH_DTYPE", "bfloat16"
 ) == "bfloat16" else jnp.float32
+# opt-in serving approximation (cos > 0.99 to the faithful path; see
+# PPSTConfig.e2_fast_warp_pool) — off for the headline number
+FAST_POOL = os.environ.get("PPST_BENCH_FAST_POOL", "0") == "1"
 
 
 def build_pipeline():
@@ -51,7 +54,7 @@ def build_pipeline():
     from ppst_tpu.ops.corr import corrm, rselfcorr
     from ppst_tpu.util.fast_init import random_params_like
 
-    cfg = PPSTConfig(crop_size=CROP)
+    cfg = PPSTConfig(crop_size=CROP, e2_fast_warp_pool=FAST_POOL)
     model = PPSTModel(cfg)
     full = random_params_like(
         lambda: model.init(jax.random.PRNGKey(0), CROP), seed=0

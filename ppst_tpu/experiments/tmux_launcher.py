@@ -157,3 +157,72 @@ class TmuxLauncher:
                 ["tmux", "kill-session", "-t", self.tmux_prefix],
                 capture_output=True,
             )
+
+    # -- analysis verbs (the reference declares plot_loss /
+    # create_comparison_html but ships no plotter module; completed here) --
+
+    def plot_loss(self, expids, mode=None, name=None):
+        """Parse each experiment's loss_log.txt and write loss_curves.png
+        into its checkpoint dir."""
+        import re
+
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        for opt in self.train_options():
+            exp_name = opt.kvs.get("name")
+            ckpt = os.path.expanduser(
+                str(opt.kvs.get("checkpoints_dir", "./checkpoints/"))
+            )
+            log = os.path.join(ckpt, exp_name, "loss_log.txt")
+            if not os.path.exists(log):
+                print(f"no loss log at {log}")
+                continue
+            series = {}
+            iters = []
+            for line in open(log):
+                m_it = re.search(r"iters: (\d+)", line)
+                if not m_it:
+                    continue
+                iters.append(int(m_it.group(1)))
+                for key, val in re.findall(r"(\w+): (-?\d+\.?\d*)\s", line):
+                    series.setdefault(key, []).append(float(val))
+            if not iters:
+                continue
+            fig, ax = plt.subplots(figsize=(10, 6))
+            for key, vals in sorted(series.items()):
+                if len(vals) == len(iters):
+                    ax.plot(iters, vals, label=key, linewidth=1)
+            ax.set_xlabel("images seen")
+            ax.set_ylabel("loss (EMA)")
+            ax.legend(fontsize=7, ncol=3)
+            out = os.path.join(ckpt, exp_name, "loss_curves.png")
+            fig.savefig(out, dpi=120, bbox_inches="tight")
+            plt.close(fig)
+            print(f"wrote {out}")
+
+    def create_comparison_html(self, name, expids, subdir="", title="", phase="test"):
+        """Side-by-side HTML of result images across experiments."""
+        from ppst_tpu.util.html import HTML
+
+        rows = {}
+        for opt in self.test_options():
+            exp_name = opt.kvs.get("name")
+            result_dir = os.path.join("results", exp_name, subdir)
+            if not os.path.isdir(result_dir):
+                continue
+            for root, _, files in os.walk(result_dir):
+                for f in sorted(files):
+                    if f.lower().endswith((".png", ".jpg")):
+                        rows.setdefault(f, []).append(
+                            (exp_name, os.path.abspath(os.path.join(root, f)))
+                        )
+        out_dir = os.path.join("results", f"comparison_{name}")
+        page = HTML(out_dir, title or f"comparison {name}")
+        for fname, entries in sorted(rows.items()):
+            page.add_header(fname)
+            page.add_images([p for _, p in entries], [n for n, _ in entries],
+                            width=256)
+        print(f"wrote {page.save()}")

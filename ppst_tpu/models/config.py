@@ -60,6 +60,13 @@ class PPSTConfig:
     # always stay float32.
     dtype: str = "float32"
 
+    # serving optimization: E2's warped features are only globally pooled
+    # when no mask is given; True pools the warp grid directly instead of
+    # bilinear-upsampling it first (approximation: boundary pixels of the
+    # GAP carry slightly different weights, GMP of the interpolant is
+    # bounded by the grid max). Off by default for reference parity.
+    e2_fast_warp_pool: bool = False
+
     @property
     def style_dim(self) -> int:
         return self.global_code_ch + self.num_classes

@@ -82,11 +82,20 @@ class _ProjectionHead(nn.Module):
         return l2_normalize(y)
 
 
-def _warp_features(x, corr, out_hw=None):
+def _warp_features(x, corr, out_hw=None, fast_pool=False):
     """Warp current-scale features through the correspondence: pool to the
-    corr source grid, warp, and resize back when above grid resolution."""
+    corr source grid, warp, and resize back when above grid resolution.
+    ``fast_pool`` skips the resize-back (valid when the result is only
+    globally pooled; see PPSTConfig.e2_fast_warp_pool)."""
+    from ppst_tpu.ops.corr import adaptive_avg_pool
+
     lk = corr.shape[2]
-    if x.shape[1] * x.shape[2] > lk:
+    h, w = x.shape[1], x.shape[2]
+    if h * w > lk:
+        if fast_pool:
+            s = int(round((h * w / lk) ** 0.5))
+            pooled = adaptive_avg_pool(x, (h // s, w // s))
+            return warp(pooled, corr, out_hw=out_hw)
         return warp_resize(x, corr, out_hw=out_hw)
     return warp(x, corr, out_hw=out_hw)
 
@@ -112,10 +121,13 @@ class ColorEncoder(nn.Module):
                     if feat_w is not None:
                         proj_mw.append(head(feat_w * cur_swapped[..., i : i + 1]))
 
+        # fast_pool only applies when the warped features are purely pooled
+        fast_pool = cfg.e2_fast_warp_pool and mask is None
+
         y = ConvLayer(cfg.nc_e2(0), 1, name="from_rgb")(x)
         head = _ProjectionHead(cfg.nc_e2(0), name="head_in")
         yw = (
-            _warp_features(y, corrmatrix, corr_out_hw)
+            _warp_features(y, corrmatrix, corr_out_hw, fast_pool)
             if corrmatrix is not None
             else None
         )
@@ -132,7 +144,7 @@ class ColorEncoder(nn.Module):
             yw = None
             if corrmatrix is not None:
                 yw = _warp_features(
-                    y, jax.lax.stop_gradient(corrmatrix), corr_out_hw
+                    y, jax.lax.stop_gradient(corrmatrix), corr_out_hw, fast_pool
                 )
             if mask is not None:
                 mask = nn.max_pool(mask, (2, 2), strides=(2, 2))

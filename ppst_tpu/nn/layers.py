@@ -16,7 +16,7 @@ comparable; exact RNG streams are not reproducible across frameworks.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -104,14 +104,22 @@ def nearest_upsample2x(x):
 
 class EqualConv2d(nn.Module):
     """Conv with N(0,1) weights scaled at runtime by 1/sqrt(fan_in)*lr_mul
-    (reference stylegan2_layers.py:167-202)."""
+    (reference stylegan2_layers.py:167-202).
+
+    ``pre_blur``: static FIR taps of an antialiasing blur to fold INTO the
+    conv kernel (exact composition: blur-then-correlate == correlate with
+    the blur/weight cross-correlation). Removes the bandwidth-bound
+    depthwise blur pass that precedes every downsampling conv. ``padding``
+    may be an (p0, p1) pair when pre_blur is set.
+    """
 
     features: int
     kernel_size: int
     stride: int = 1
-    padding: int = 0
+    padding: Any = 0
     use_bias: bool = True
     lr_mul: float = 1.0
+    pre_blur: Optional[Sequence[float]] = None
 
     @nn.compact
     def __call__(self, x):
@@ -121,7 +129,30 @@ class EqualConv2d(nn.Module):
             "weight", unit_normal_init, (k, k, in_ch, self.features), jnp.float32
         )
         scale = self.lr_mul / math.sqrt(in_ch * k * k)
-        y = _conv2d(x, w.astype(x.dtype) * scale, self.stride, self.padding)
+        w = w.astype(x.dtype) * scale
+        if self.pre_blur is not None:
+            taps = np.asarray(self.pre_blur, np.float32)
+            b2d = np.outer(taps, taps)
+            b2d = b2d / b2d.sum()
+            t = b2d.shape[0]
+            kk = k + t - 1
+            comp = jnp.zeros((kk, kk) + w.shape[2:], w.dtype)
+            # C[v] = sum_t B[t] W[v - (t_len-1) + t]  (cross-correlation,
+            # flipped placement) so that corr(conv(x, B), W) == corr(x, C)
+            for t1 in range(t):
+                for t2 in range(t):
+                    v1 = t - 1 - t1
+                    v2 = t - 1 - t2
+                    comp = comp.at[v1 : v1 + k, v2 : v2 + k].add(
+                        b2d[t1, t2] * w
+                    )
+            w = comp
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        elif len(pad) == 2 and not isinstance(pad[0], (tuple, list)):
+            pad = (tuple(pad), tuple(pad))
+        y = _conv2d(x, w, self.stride, pad)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + b.astype(y.dtype)
@@ -346,22 +377,38 @@ class ConvLayer(nn.Module):
     pad: Optional[int] = None
     norm: str = "none"
     reflection_pad: bool = False
+    # fold the antialias blur into the conv kernel (numerically equal,
+    # removes a depthwise pass); set False to run the literal two-op form
+    fuse_blur: bool = True
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
+        pre_blur = None
         if self.downsample:
             p = self.pad
             if p is None:
                 p = (len(self.blur_kernel) - 2) + (k - 1)
             pad0, pad1 = (p + 1) // 2, p // 2
-            x = blur_op(
-                x,
-                np.asarray(self.blur_kernel, np.float32),
-                (pad0, pad1),
-                reflection_pad=self.reflection_pad,
-            )
-            stride, conv_pad = 2, 0
+            if self.fuse_blur and len(self.blur_kernel) > 1:
+                pre_blur = tuple(self.blur_kernel)
+                if self.reflection_pad:
+                    x = jnp.pad(
+                        x,
+                        ((0, 0), (pad0, pad1), (pad0, pad1), (0, 0)),
+                        mode="reflect",
+                    )
+                    stride, conv_pad = 2, ((0, 0), (0, 0))
+                else:
+                    stride, conv_pad = 2, ((pad0, pad1), (pad0, pad1))
+            else:
+                x = blur_op(
+                    x,
+                    np.asarray(self.blur_kernel, np.float32),
+                    (pad0, pad1),
+                    reflection_pad=self.reflection_pad,
+                )
+                stride, conv_pad = 2, 0
         else:
             stride = 1
             conv_pad = k // 2 if self.pad is None else self.pad
@@ -378,6 +425,7 @@ class ConvLayer(nn.Module):
             stride=stride,
             padding=conv_pad,
             use_bias=self.use_bias and not self.activate,
+            pre_blur=pre_blur,
             name="conv",
         )(x)
         if self.norm == "in":

@@ -158,3 +158,21 @@ def test_torch_conv2d_replicate_pad(rng):
     xp = TF.pad(nchw(x), [1, 1, 1, 1], mode="replicate")
     want = TF.conv2d(xp, torch.from_numpy(w).permute(3, 2, 0, 1), torch.from_numpy(b))
     np.testing.assert_allclose(np.asarray(got), nhwc(want), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_blur_matches_two_op_form(rng):
+    """fuse_blur folds the antialias blur into the conv kernel; must be
+    numerically identical to the literal blur-then-conv form."""
+    import jax
+
+    for taps, refl in [((1, 3, 3, 1), False), ((1, 2, 1), True)]:
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 4)).astype(np.float32))
+        fused = ConvLayer(8, 3, downsample=True, blur_kernel=taps,
+                          reflection_pad=refl, fuse_blur=True)
+        plain = ConvLayer(8, 3, downsample=True, blur_kernel=taps,
+                          reflection_pad=refl, fuse_blur=False)
+        params = plain.init(jax.random.PRNGKey(0), x)
+        a = fused.apply(params, x)
+        b = plain.apply(params, x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-5)

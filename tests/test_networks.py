@@ -114,3 +114,23 @@ def test_param_counts_in_expected_range(nets):
     assert 20e6 < c_e2 < 40e6, c_e2
     assert c_g > 30e6, c_g
     assert 0.3e6 < c_e1 < 10e6, c_e1
+
+
+def test_e2_fast_warp_pool_is_close(nets, rng):
+    """The e2_fast_warp_pool serving mode (pool the warp grid directly
+    instead of upsampling first) must track the faithful path closely."""
+    import dataclasses
+
+    from ppst_tpu.models import ColorEncoder
+
+    e2, params = nets["e2"]
+    x = jnp.asarray(rng.standard_normal((B, S, S, 3)).astype(np.float32))
+    corr = jax.nn.softmax(
+        jnp.asarray(rng.standard_normal((B, L, L)).astype(np.float32)) * 3, -1
+    )
+    base = e2.apply(params, x, corrmatrix=corr).vectors_w
+    fast_cfg = dataclasses.replace(CFG, e2_fast_warp_pool=True)
+    fast = ColorEncoder(fast_cfg).apply(params, x, corrmatrix=corr).vectors_w
+    for u, v in zip(base, fast):
+        cos = float(jnp.mean(jnp.sum(u * v, axis=-1)))
+        assert cos > 0.99, cos
