@@ -52,6 +52,19 @@ def main():
         launcher.stop()
     elif cmd == "close":
         launcher.stop()
+    elif cmd == "dryrun":
+        launcher.dry()
+    elif cmd == "plot_loss":
+        launcher.plot_loss(ids, opt.mode, opt.name)
+    elif cmd == "create_comparison_html":
+        launcher.create_comparison_html(opt.name, ids, opt.subdir, opt.title,
+                                        opt.phase)
+    elif cmd == "print_names":
+        for o in launcher.train_options():
+            print(o.kvs.get("name"))
+    elif cmd == "print_test_names":
+        for o in launcher.test_options():
+            print(o.kvs.get("name"))
     else:
         raise ValueError(f"Command {cmd!r} not recognized")
 

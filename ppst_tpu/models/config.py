@@ -39,6 +39,12 @@ class PPSTConfig:
     # D (reference discriminator.py:7-9)
     netD_scale_capacity: float = 1.0
 
+    # network selection (reference options/__init__.py:46-49)
+    netG: str = "StyleGAN2Resnet"
+    netD: str = "StyleGAN2"
+    netE1: str = "StyleGAN2Resnet"
+    netE2: str = "StyleGAN2Resnet"
+
     # losses (reference ppst_model.py:21-34)
     lambda_R1: float = 10.0
     lambda_L1: float = 3.0

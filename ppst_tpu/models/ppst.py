@@ -36,11 +36,13 @@ from ppst_tpu.ops.guided_filter import guided_filter
 
 class PPSTModel:
     def __init__(self, cfg: PPSTConfig, lpips_variables=None):
+        from ppst_tpu.models import create_network
+
         self.cfg = cfg
-        self.e1 = ContentEncoder(cfg)
-        self.e2 = ColorEncoder(cfg)
-        self.g = Generator(cfg)
-        self.d = Discriminator(cfg)
+        self.e1 = create_network(cfg, cfg.netE1, "encoder_con")
+        self.e2 = create_network(cfg, cfg.netE2, "encoder_col")
+        self.g = create_network(cfg, cfg.netG, "generator")
+        self.d = create_network(cfg, cfg.netD, "discriminator")
         self.lpips = lpips_mod.LPIPS()
         self.lpips_variables = (
             lpips_variables if lpips_variables is not None else lpips_mod.init_params()
@@ -282,6 +284,24 @@ class PPSTModel:
         guide255 = (jnp.clip(target, -1.0, 1.0) + 1.0) * 127.5
         smoothed = guided_filter(guide255, out255, radius=30, eps=(0.02 * 255.0) ** 2)
         return smoothed / 127.5 - 1.0
+
+    def get_visuals_for_snapshot(self, params, real, rng):
+        """Training snapshot visuals {real, layout, rec, mix}: a working
+        version of reference ppst_model.py:237-248 (which references an
+        undefined ``self.E`` there). ``layout`` is a PCA rendering of the
+        structure code, upsampled to image size."""
+        from ppst_tpu.ops.corr import resize_bilinear
+        from ppst_tpu.util.util import visualize_spatial_code
+
+        r1, r2 = jax.random.split(rng)
+        sp = self.apply_e1(params, real)
+        gl = self.apply_e2(params, real).vectors
+        rec = self.apply_g(params, sp, gl, r1)
+        mix = self.apply_g(params, sp, [self.swap(g) for g in gl], r2)
+        layout = resize_bilinear(
+            jnp.asarray(visualize_spatial_code(sp)), real.shape[1:3]
+        )
+        return {"real": real, "layout": layout, "rec": rec, "mix": mix}
 
     def stylize(self, params, content, style, rng, alpha: float = 1.0,
                 smooth_target: bool = False):

@@ -97,5 +97,12 @@ class PPSTOptimizer:
         )
         return losses
 
+    def get_visuals_for_snapshot(self, data_i):
+        images, _ = self.prepare_images(data_i)
+        b = self.bundle
+        # limit like the reference (ppst_model.py:238-240)
+        images = jax.numpy.asarray(images[:4])
+        return b.model.get_visuals_for_snapshot(b.params, images, b.next_rng())
+
     def save(self, total_steps_so_far):
         self.bundle.save(total_steps_so_far)

@@ -30,9 +30,12 @@ from ppst_tpu.parallel.mesh import make_mesh, replicated_sharding
 
 class ModelBundle:
     def __init__(self, opt, cfg: Optional[PPSTConfig] = None):
+        from ppst_tpu.models import find_model_using_name
+
         self.opt = opt
         self.cfg = cfg or PPSTConfig.from_options(opt)
-        self.model = PPSTModel(self.cfg)
+        model_cls = find_model_using_name(getattr(opt, "model", "ppst"))
+        self.model = model_cls(self.cfg)
         self.mesh = make_mesh(getattr(opt, "num_gpus", None) or None)
         self.rng = jax.random.PRNGKey(getattr(opt, "seed", 0))
         self.rng, init_key = jax.random.split(self.rng)

@@ -46,6 +46,17 @@ def _stub_modules():
         return v * torch.rsqrt(torch.sum(v**2, dim=1, keepdim=True) + 1e-8)
 
     fake_util.normalize = _normalize
+
+    def _find_class_in_module(target, module_name):
+        mod = importlib.import_module(module_name)
+        want = target.replace("_", "").lower()
+        for name, cls in vars(mod).items():
+            if name.lower() == want and isinstance(cls, type):
+                return cls
+        raise ValueError(f"{target} not in {module_name}")
+
+    fake_util.find_class_in_module = _find_class_in_module
+    fake_util.lerp = lambda a, b, r: a * (1 - r) + b * r
     sys.modules["util"] = fake_util
 
     fake_lpips = types.ModuleType("lpips")
@@ -59,6 +70,17 @@ def _stub_modules():
 
     fake_lpips.LPIPS = _LPIPS
     sys.modules["lpips"] = fake_lpips
+
+    # the reference loss module imports torchvision (only its dead VGG16
+    # loss uses it); stub it out
+    fake_tv = types.ModuleType("torchvision")
+    fake_tv.models = types.ModuleType("torchvision.models")
+    fake_tv.transforms = types.ModuleType("torchvision.transforms")
+    fake_tv.transforms.Compose = lambda x: (lambda im: im)
+    fake_tv.transforms.ToTensor = lambda: (lambda im: im)
+    sys.modules["torchvision"] = fake_tv
+    sys.modules["torchvision.models"] = fake_tv.models
+    sys.modules["torchvision.transforms"] = fake_tv.transforms
 
     # reference packaging bug: models/networks/rscl.py does not exist;
     # load networks/rscl.py under that name (SURVEY.md 0.1-2)
@@ -77,7 +99,7 @@ def _stub_modules():
 
 def ref_opt():
     return argparse.Namespace(
-        isTrain=True, num_gpus=0, continue_train=False,
+        isTrain=True, num_gpus=0, continue_train=False, local_rank=0,
         use_antialias=True, crop_size=CROP, num_classes=0,
         spatial_code_ch=256, global_code_ch=2048,
         lambda_R1=10.0, lambda_L1=3.0, lambda_GAN=1.0, training_stage=2,
@@ -96,7 +118,8 @@ def ref_opt():
 
 
 @pytest.fixture(scope="module")
-def setups(rng):
+def setups():
+    rng = np.random.default_rng(0)
     _stub_modules()
     torch.manual_seed(0)
     ppst_model = importlib.import_module("models.ppst_model")
