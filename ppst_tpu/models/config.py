@@ -66,6 +66,12 @@ class PPSTConfig:
     # always stay float32.
     dtype: str = "float32"
 
+    # rematerialize network applications inside the training losses
+    # (jax.checkpoint): the G step's 4 generator + 4 E2 passes cannot all
+    # keep their activations live in 16 GB HBM at 512px (SURVEY 5.7's
+    # memory hot spot); remat trades ~30% recompute for fitting.
+    remat: bool = True
+
     # serving optimization: E2's warped features are only globally pooled
     # when no mask is given; True pools the warp grid directly instead of
     # bilinear-upsampling it first (approximation: boundary pixels of the

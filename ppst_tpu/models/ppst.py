@@ -100,18 +100,19 @@ class PPSTModel:
     def apply_d(self, params, x):
         return self.d.apply({"params": params["D"]}, x)
 
+    def _r(self, fn):
+        """Rematerialize a network application inside training losses
+        (cfg.remat): recompute its activations in the backward pass
+        instead of keeping them live — required to fit the G step's many
+        passes in HBM at 512px."""
+        return jax.checkpoint(fn) if self.cfg.remat else fn
+
     # ------------------------------------------------------------------
     # correspondence pipeline (reference ppst_model.py:113-123, 166-171)
     # ------------------------------------------------------------------
 
     def swap(self, x):
         return batch_swap(x)
-
-    def _sps_descriptor(self, params, sp, gl, rng):
-        """G feature branch -> concat(feat, Rselfcorr(feat1))."""
-        _, feas, feas1 = self.apply_g(params, sp, gl, rng, extract_features=True)
-        selfatt = rselfcorr(feas1)
-        return jnp.concatenate([feas, selfatt], axis=-1)
 
     # ------------------------------------------------------------------
     # losses
@@ -124,38 +125,52 @@ class PPSTModel:
         state = dict(state, num_d_iters=state["num_d_iters"] + 1)
         r_ext, r_mix, r_rec = jax.random.split(rng, 3)
 
-        sp = self.apply_e1(params, real)
-        gl = self.apply_e2(params, real).vectors
+        e1 = self._r(lambda p, x: self.apply_e1(p, x))
+        e2_plain = self._r(lambda p, x: tuple(self.apply_e2(p, x).vectors))
+        e2_w = self._r(
+            lambda p, x, c: tuple(self.apply_e2(p, x, corrmatrix=c).vectors_w)
+        )
+        g_fwd = self._r(lambda p, s, g, r: self.apply_g(p, s, list(g), r))
+        g_ext = self._r(
+            lambda p, s, g, r: self.apply_g(
+                p, s, list(g), r, extract_features=True
+            )
+        )
+        d_fwd = self._r(lambda p, x: self.apply_d(p, x))
+
+        sp = e1(params, real)
+        gl = e2_plain(params, real)
         mix = None
         if cfg.training_stage == 2:
-            sps = self._sps_descriptor(params, sp, gl, r_ext)
+            _, feas, feas1 = g_ext(params, sp, gl, r_ext)
+            sps = jnp.concatenate([feas, rselfcorr(feas1)], axis=-1)
             corr_sw = corrm(sps, self.swap(sps))
             corr_self = corrm(sps, sps)
             if cfg.lambda_StyleCon > 0.0:
-                gl_w = self.apply_e2(params, real, corrmatrix=corr_sw).vectors_w
-                mix = self.apply_g(params, self.swap(sp), gl_w, r_mix)
+                gl_w = e2_w(params, real, corr_sw)
+                mix = g_fwd(params, self.swap(sp), gl_w, r_mix)
             # reconstruction styles are the *self-corr-warped* vectors
-            gl = self.apply_e2(params, real, corrmatrix=corr_self).vectors_w
+            gl = e2_w(params, real, corr_self)
 
         b = real.shape[0]
         assert b % 2 == 0, "batch size must be even on each shard"
         gl_half = [g[: b // 2] for g in gl]
-        rec = self.apply_g(params, sp[: b // 2], gl_half, r_rec)
+        rec = g_fwd(params, sp[: b // 2], gl_half, r_rec)
 
         losses = {}
         if cfg.lambda_GAN > 0.0:
             # generator-side outputs are constants for the D update
             rec = jax.lax.stop_gradient(rec)
             losses["D_real"] = (
-                gan_loss(self.apply_d(params, real), True) * cfg.lambda_GAN
+                gan_loss(d_fwd(params, real), True) * cfg.lambda_GAN
             )
             losses["D_rec"] = (
-                gan_loss(self.apply_d(params, rec), False) * 0.5 * cfg.lambda_GAN
+                gan_loss(d_fwd(params, rec), False) * 0.5 * cfg.lambda_GAN
             )
             if cfg.training_stage == 2 and mix is not None:
                 mix = jax.lax.stop_gradient(mix)
                 losses["D_mix"] = (
-                    gan_loss(self.apply_d(params, mix), False) * 0.5 * cfg.lambda_GAN
+                    gan_loss(d_fwd(params, mix), False) * 0.5 * cfg.lambda_GAN
                 )
         return losses, state
 
@@ -183,22 +198,43 @@ class PPSTModel:
         losses, metrics = {}, {}
         b = real.shape[0]
 
-        sp = self.apply_e1(params, real)
-        gl = self.apply_e2(params, real).vectors
+        e1 = self._r(lambda p, x: self.apply_e1(p, x))
+        e2_plain = self._r(lambda p, x: tuple(self.apply_e2(p, x).vectors))
+        e2_w = self._r(
+            lambda p, x, c: tuple(self.apply_e2(p, x, corrmatrix=c).vectors_w)
+        )
+        e2_full = self._r(
+            lambda p, x, c, m: self.apply_e2(p, x, corrmatrix=c, mask=m)
+        )
+        e2_mask = self._r(
+            lambda p, x, m: tuple(self.apply_e2(p, x, mask=m).projections_m)
+        )
+        g_fwd = self._r(lambda p, s, g, r: self.apply_g(p, s, list(g), r))
+        g_ext = self._r(
+            lambda p, s, g, r: self.apply_g(
+                p, s, list(g), r, extract_features=True
+            )
+        )
+        d_fwd = self._r(lambda p, x: self.apply_d(p, x))
+        lpips_fn = self._r(lambda v, a, b_: self.lpips.apply(v, a, b_))
+
+        sp = e1(params, real)
+        gl = e2_plain(params, real)
         gl_w = pro_ms = pro_mw = None
         corr_sw = None
         if cfg.training_stage == 2:
-            sps = self._sps_descriptor(params, sp, gl, r_ext)
+            _, feas, feas1 = g_ext(params, sp, gl, r_ext)
+            sps = jnp.concatenate([feas, rselfcorr(feas1)], axis=-1)
             corr_sw = corrm(sps, self.swap(sps))
             corr_self = corrm(sps, sps)
-            gl = self.apply_e2(params, real, corrmatrix=corr_self).vectors_w
+            gl = e2_w(params, real, corr_self)
             if cfg.lambda_StyleCon > 0.0:
-                out = self.apply_e2(params, real, corrmatrix=corr_sw, mask=mask)
+                out = e2_full(params, real, corr_sw, mask)
                 pro_ms, gl_w, pro_mw = out.projections_m, out.vectors_w, out.projections_mw
             if cfg.lambda_Cycwarp > 0.0:
                 image_warp = warp(real, corr_sw)
                 image_rec = warp(image_warp, self.swap(corr_sw))
-                reg = self.lpips.apply(self.lpips_variables, image_rec, real)
+                reg = lpips_fn(self.lpips_variables, image_rec, real)
                 losses["image_warp_reg"] = jnp.mean(reg) * cfg.lambda_Cycwarp
             if cfg.lambda_Maskwarp > 0.0:
                 mask_warp = warp(mask, corr_sw)
@@ -206,18 +242,18 @@ class PPSTModel:
                     l1_loss(mask_warp, self.swap(mask)) * cfg.lambda_Maskwarp
                 )
 
-        rec = self.apply_g(params, sp, gl, r_rec)
+        rec = g_fwd(params, sp, gl, r_rec)
         if cfg.lambda_L1 > 0.0:
             losses["G_L1"] = l1_loss(rec, real) * cfg.lambda_L1
 
         mix = None
         if cfg.training_stage == 2 and cfg.lambda_StyleCon > 0.0:
-            mix = self.apply_g(params, self.swap(sp), gl_w, r_mix)
-            pro_3m = self.apply_e2(params, mix, mask=self.swap(mask)).projections_m
-            pro_2m = self.apply_e2(params, rec, mask=mask).projections_m
-            sp_3 = self.apply_e1(params, mix)
+            mix = g_fwd(params, self.swap(sp), gl_w, r_mix)
+            pro_3m = e2_mask(params, mix, self.swap(mask))
+            pro_2m = e2_mask(params, rec, mask)
+            sp_3 = e1(params, mix)
             gl_half = [g[: b // 2] for g in gl]
-            cyc = self.apply_g(params, self.swap(sp_3)[: b // 2], gl_half, r_cyc)
+            cyc = g_fwd(params, self.swap(sp_3)[: b // 2], gl_half, r_cyc)
             metrics["L1_dist"] = l1_loss(cyc, real[: b // 2])
             losses["G_L1_cyc"] = metrics["L1_dist"] * 3.0
 
@@ -247,11 +283,11 @@ class PPSTModel:
 
         if cfg.lambda_GAN > 0.0:
             losses["G_GAN_rec"] = (
-                gan_loss(self.apply_d(params, rec), True) * cfg.lambda_GAN * 0.5
+                gan_loss(d_fwd(params, rec), True) * cfg.lambda_GAN * 0.5
             )
             if cfg.training_stage == 2 and mix is not None:
                 losses["G_GAN_mix"] = (
-                    gan_loss(self.apply_d(params, mix), True) * cfg.lambda_GAN
+                    gan_loss(d_fwd(params, mix), True) * cfg.lambda_GAN
                 )
         return losses, metrics, state
 

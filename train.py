@@ -19,6 +19,18 @@ def main():
     evaluators = GroupEvaluator(opt)
     optimizer = optimizers.create_optimizer(opt, model)
 
+    # graceful shutdown: SIGTERM/SIGINT save a checkpoint before exiting
+    # (the reference's only recovery story is manual --continue_train;
+    # saves here are atomic so a kill mid-save cannot corrupt state)
+    import signal
+
+    def _save_and_exit(signum, frame):
+        print(f"signal {signum}: saving checkpoint before exit")
+        optimizer.save(iter_counter.steps_so_far)
+        raise SystemExit(0)
+
+    signal.signal(signal.SIGTERM, _save_and_exit)
+
     profiling = False
     step_idx = 0
     while not iter_counter.completed_training():
