@@ -1,0 +1,84 @@
+"""Training-step benchmark: steady-state D/G step time on the current
+device. Not driver-run (bench.py owns the headline inference metric);
+used to populate BASELINE.md's training numbers.
+
+Usage: python tools/bench_train.py [--crop 512] [--batch 2] [--iters 5]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("PPST_JAX_CACHE", "/root/.cache/jax_ppst_tpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+
+def sync(tree):
+    np.asarray(jax.tree.leaves(tree)[0].ravel()[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--crop", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    from ppst_tpu.models.config import PPSTConfig
+    from ppst_tpu.models.ppst import PPSTModel
+    from ppst_tpu.train.steps import build_train_steps
+    from ppst_tpu.util.fast_init import random_params_like
+
+    cfg = PPSTConfig(crop_size=args.crop)
+    model = PPSTModel(cfg)
+    params, state = random_params_like(
+        lambda: model.init(jax.random.PRNGKey(0), args.crop), seed=0
+    )
+    init_opt, d_step, d_step_r1, g_step = build_train_steps(model, donate=False)
+    opt_states = init_opt(params)
+    params, state, opt_states = jax.device_put((params, state, opt_states))
+    real = jax.random.normal(
+        jax.random.PRNGKey(1), (args.batch, args.crop, args.crop, 3)
+    ) * 0.3
+    mask = jnp.zeros((args.batch, args.crop, args.crop, 3)).at[..., 0].set(1.0)
+
+    results = {}
+    for name, step in [("d_step", d_step), ("g_step", g_step),
+                       ("d_step_r1", d_step_r1)]:
+        t0 = time.time()
+        p, s, o, losses = step(params, state, opt_states, real, mask,
+                               jax.random.PRNGKey(2))
+        sync(losses)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for i in range(args.iters):
+            p, s, o, losses = step(p, s, o, real, mask, jax.random.PRNGKey(3 + i))
+        sync(losses)
+        ms = (time.time() - t0) / args.iters * 1000
+        results[name] = {"compile_s": round(compile_s, 1), "steady_ms": round(ms, 1)}
+        print(f"{name}: compile {compile_s:.0f}s steady {ms:.0f}ms", flush=True)
+
+    imgs_per_sec = args.batch / (
+        (results["d_step"]["steady_ms"] + results["g_step"]["steady_ms"]) / 1000
+    ) * 2  # one D + one G step consume two batches in the reference loop
+    print(json.dumps({
+        "metric": f"train_images_per_sec_{args.crop}px",
+        "value": round(imgs_per_sec, 2),
+        "unit": "img/s",
+        "detail": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
