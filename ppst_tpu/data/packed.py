@@ -11,11 +11,10 @@ importable, the same API reads/writes LMDB directories transparently.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import struct
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 MAGIC = b"PPSTPAK1"
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 import shutil
 import subprocess
-from typing import List, Optional, Union
+from typing import List, Union
 
 
 class Options:

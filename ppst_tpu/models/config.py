@@ -8,7 +8,6 @@ dataclass mechanically from a parsed namespace.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

@@ -19,8 +19,6 @@ Architecture parity with reference models/networks/generator.py:104-281
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -12,16 +12,13 @@ plain jitted functions over (params, state, batch) pytrees.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from ppst_tpu.models.config import PPSTConfig
-from ppst_tpu.models.discriminator import Discriminator
-from ppst_tpu.models.encoder_col import ColorEncoder, batch_swap
-from ppst_tpu.models.encoder_con import ContentEncoder
-from ppst_tpu.models.generator import Generator
+from ppst_tpu.models.encoder_col import batch_swap
 from ppst_tpu.models.losses import (
     gan_loss,
     init_rscl_state,

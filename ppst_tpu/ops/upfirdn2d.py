@@ -27,8 +27,6 @@ TPU design notes
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

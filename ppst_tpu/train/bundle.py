@@ -24,7 +24,6 @@ import numpy as np
 from flax import serialization
 
 from ppst_tpu.models.config import PPSTConfig
-from ppst_tpu.models.ppst import PPSTModel
 from ppst_tpu.parallel.mesh import make_mesh, replicated_sharding
 
 

@@ -17,11 +17,9 @@ reference's concat_all_gather (losses.enqueue_schedule).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Dict
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from ppst_tpu.models.config import PPSTConfig
