@@ -100,13 +100,43 @@ def _warp_features(x, corr, out_hw=None, fast_pool=False):
     return warp(x, corr, out_hw=out_hw)
 
 
+def _warp_features_qk(x, q_desc, k_desc, src_hw, out_hw=None, fast_pool=False):
+    """Like _warp_features, but via the blockwise fused Pallas kernel
+    (ops.corr_pallas) from pre-normalized q/k descriptors — never
+    materializes the (Lq, Lk) matrix. This is the 1024px-regime path."""
+    from ppst_tpu.ops.corr import adaptive_avg_pool, resize_bilinear
+    from ppst_tpu.ops.corr_pallas import corr_warp_blockwise
+
+    b, h, w, c = x.shape
+    lk = k_desc.shape[1]
+    lq = q_desc.shape[1]
+    if out_hw is None:
+        g = int(round(lq**0.5))
+        out_hw = (g, g)
+    s = int(round((h * w / lk) ** 0.5))
+    pooled = adaptive_avg_pool(x, (h // s, w // s)) if s > 1 else x
+    warped = corr_warp_blockwise(
+        q_desc, k_desc, pooled.reshape(b, lk, c)
+    ).reshape(b, out_hw[0], out_hw[1], c)
+    if s > 1 and not fast_pool:
+        warped = resize_bilinear(warped, (out_hw[0] * s, out_hw[1] * s))
+    return warped
+
+
 class ColorEncoder(nn.Module):
     cfg: PPSTConfig
 
     @nn.compact
-    def __call__(self, x, corrmatrix=None, mask=None, corr_out_hw=None):
+    def __call__(self, x, corrmatrix=None, mask=None, corr_out_hw=None,
+                 corr_qk=None):
+        """``corrmatrix``: dense (B, Lq, Lk) correspondence. ``corr_qk``:
+        alternative ((B, Lq, C), (B, Lk, C)) pre-normalized descriptor pair
+        routed through the blockwise fused kernel (high-resolution path;
+        mutually exclusive with corrmatrix)."""
         cfg = self.cfg
         n_down = cfg.netE2_num_downsampling_gl1
+        assert corrmatrix is None or corr_qk is None
+        src_hw = None
 
         vectors, vectors_w, proj_m, proj_mw = [], [], [], []
         swapped_mask = batch_swap(mask) if mask is not None else None
@@ -126,11 +156,13 @@ class ColorEncoder(nn.Module):
 
         y = ConvLayer(cfg.nc_e2(0), 1, name="from_rgb")(x)
         head = _ProjectionHead(cfg.nc_e2(0), name="head_in")
-        yw = (
-            _warp_features(y, corrmatrix, corr_out_hw, fast_pool)
-            if corrmatrix is not None
-            else None
-        )
+        yw = None
+        if corrmatrix is not None:
+            yw = _warp_features(y, corrmatrix, corr_out_hw, fast_pool)
+        elif corr_qk is not None:
+            yw = _warp_features_qk(
+                y, corr_qk[0], corr_qk[1], src_hw, corr_out_hw, fast_pool
+            )
         collect(head, y, yw, mask, swapped_mask)
 
         for layer_id in range(n_down):
@@ -145,6 +177,15 @@ class ColorEncoder(nn.Module):
             if corrmatrix is not None:
                 yw = _warp_features(
                     y, jax.lax.stop_gradient(corrmatrix), corr_out_hw, fast_pool
+                )
+            elif corr_qk is not None:
+                yw = _warp_features_qk(
+                    y,
+                    jax.lax.stop_gradient(corr_qk[0]),
+                    jax.lax.stop_gradient(corr_qk[1]),
+                    src_hw,
+                    corr_out_hw,
+                    fast_pool,
                 )
             if mask is not None:
                 mask = nn.max_pool(mask, (2, 2), strides=(2, 2))

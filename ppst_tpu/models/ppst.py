@@ -122,17 +122,18 @@ class PPSTModel:
         state = dict(state, num_d_iters=state["num_d_iters"] + 1)
         r_ext, r_mix, r_rec = jax.random.split(rng, 3)
 
-        e1 = self._r(lambda p, x: self.apply_e1(p, x))
-        e2_plain = self._r(lambda p, x: tuple(self.apply_e2(p, x).vectors))
-        e2_w = self._r(
-            lambda p, x, c: tuple(self.apply_e2(p, x, corrmatrix=c).vectors_w)
+        # No remat here: the D update only differentiates through D itself
+        # (the generator-side forwards carry no gradient), so checkpointing
+        # would cost compile time for zero memory benefit.
+        e1 = lambda p, x: self.apply_e1(p, x)
+        e2_plain = lambda p, x: tuple(self.apply_e2(p, x).vectors)
+        e2_w = lambda p, x, c: tuple(self.apply_e2(p, x, corrmatrix=c).vectors_w)
+        g_fwd = lambda p, s, g, r: self.apply_g(p, s, list(g), r)
+        g_ext = lambda p, s, g, r: self.apply_g(
+            p, s, list(g), r, extract_features=True
         )
-        g_fwd = self._r(lambda p, s, g, r: self.apply_g(p, s, list(g), r))
-        g_ext = self._r(
-            lambda p, s, g, r: self.apply_g(
-                p, s, list(g), r, extract_features=True
-            )
-        )
+        # D forwards on real/rec/mix do need remat: R1 aside, three D
+        # backward graphs at 512px are still sizable
         d_fwd = self._r(lambda p, x: self.apply_d(p, x))
 
         sp = e1(params, real)
@@ -318,19 +319,25 @@ class PPSTModel:
         smoothed = guided_filter(guide255, out255, radius=30, eps=(0.02 * 255.0) ** 2)
         return smoothed / 127.5 - 1.0
 
-    def get_visuals_for_snapshot(self, params, real, rng):
-        """Training snapshot visuals {real, layout, rec, mix}: a working
-        version of reference ppst_model.py:237-248 (which references an
-        undefined ``self.E`` there). ``layout`` is a PCA rendering of the
-        structure code, upsampled to image size."""
-        from ppst_tpu.ops.corr import resize_bilinear
-        from ppst_tpu.util.util import visualize_spatial_code
-
+    def snapshot_core(self, params, real, rng):
+        """Jittable core of the training snapshot: structure code,
+        reconstruction, and batch-swapped style mix."""
         r1, r2 = jax.random.split(rng)
         sp = self.apply_e1(params, real)
         gl = self.apply_e2(params, real).vectors
         rec = self.apply_g(params, sp, gl, r1)
         mix = self.apply_g(params, sp, [self.swap(g) for g in gl], r2)
+        return sp, rec, mix
+
+    def get_visuals_for_snapshot(self, params, real, rng):
+        """Training snapshot visuals {real, layout, rec, mix}: a working
+        version of reference ppst_model.py:237-248 (which references an
+        undefined ``self.E`` there). ``layout`` is a host-side PCA
+        rendering of the structure code, upsampled to image size."""
+        from ppst_tpu.ops.corr import resize_bilinear
+        from ppst_tpu.util.util import visualize_spatial_code
+
+        sp, rec, mix = self.snapshot_core(params, real, rng)
         layout = resize_bilinear(
             jnp.asarray(visualize_spatial_code(sp)), real.shape[1:3]
         )
@@ -366,6 +373,37 @@ class PPSTModel:
         ).vectors_w
         if alpha != 1.0:
             gl_w = [a * (1 - alpha) + b * alpha for a, b in zip(vec_c, gl_w)]
+        return self.decode(
+            params, sp_c, gl_w, r_dec, target=content if smooth_target else None
+        )
+
+    def stylize_fused(self, params, content, style, rng,
+                      smooth_target: bool = False):
+        """High-resolution stylization via the blockwise fused Pallas
+        correspondence (never materializes the L x L matrix): the 1024px+
+        path where the dense matrix stops fitting (SURVEY.md 5.7)."""
+        from ppst_tpu.ops.corr_pallas import _normalize_desc
+
+        r_c, r_s, r_dec = jax.random.split(rng, 3)
+
+        def image_desc(img, r):
+            sp = self.apply_e1(params, img)
+            vec = self.apply_e2(params, img).vectors
+            _, fea, fea1 = self.apply_g(params, sp, vec, r, extract_features=True)
+            desc = jnp.concatenate([fea, rselfcorr(fea1)], axis=-1)
+            return sp, desc
+
+        sp_c, desc_c = image_desc(content, r_c)
+        _, desc_s = image_desc(style, r_s)
+        b, gh, gw, c = desc_c.shape
+        q = _normalize_desc(desc_c.reshape(b, gh * gw, c))
+        k = _normalize_desc(desc_s.reshape(b, -1, c))
+        gl_w = self.e2.apply(
+            {"params": params["E2"]},
+            style,
+            corr_qk=(q, k),
+            corr_out_hw=(gh, gw),
+        ).vectors_w
         return self.decode(
             params, sp_c, gl_w, r_dec, target=content if smooth_target else None
         )

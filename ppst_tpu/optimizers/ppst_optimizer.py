@@ -102,7 +102,17 @@ class PPSTOptimizer:
         b = self.bundle
         # limit like the reference (ppst_model.py:238-240)
         images = jax.numpy.asarray(images[:4])
-        return b.model.get_visuals_for_snapshot(b.params, images, b.next_rng())
+        from ppst_tpu.ops.corr import resize_bilinear
+        from ppst_tpu.util.util import visualize_spatial_code
+
+        fn = b._jit(
+            "snapshot_core", lambda p, x, r: b.model.snapshot_core(p, x, r)
+        )
+        sp, rec, mix = fn(b.params, images, b.next_rng())
+        layout = resize_bilinear(
+            jax.numpy.asarray(visualize_spatial_code(sp)), images.shape[1:3]
+        )
+        return {"real": images, "layout": layout, "rec": rec, "mix": mix}
 
     def save(self, total_steps_so_far):
         self.bundle.save(total_steps_so_far)

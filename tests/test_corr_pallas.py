@@ -55,3 +55,27 @@ def test_fallback_on_awkward_sizes(rng):
     v = rng.standard_normal((b, l, cv)).astype(np.float32)
     out = corr_warp_blockwise(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
     assert out.shape == (b, l, cv)
+
+
+def test_e2_corr_qk_matches_corrmatrix(rng):
+    """E2's fused descriptor path (corr_qk) must match the dense
+    corrmatrix path."""
+    import jax
+    from ppst_tpu.models.config import PPSTConfig
+    from ppst_tpu.models.encoder_col import ColorEncoder
+    from ppst_tpu.ops import corr_pallas as cp
+
+    cfg = PPSTConfig(crop_size=128)
+    e2 = ColorEncoder(cfg)
+    x = jnp.asarray(rng.standard_normal((2, 128, 128, 3)).astype(np.float32))
+    params = e2.init({"params": jax.random.PRNGKey(0)}, x)
+    desc = jnp.asarray(rng.standard_normal((2, 16, 16, 512)).astype(np.float32))
+    desc0 = jnp.asarray(rng.standard_normal((2, 16, 16, 512)).astype(np.float32))
+
+    dense = e2.apply(params, x, corrmatrix=corrm(desc, desc0)).vectors_w
+    q = cp._normalize_desc(desc0.reshape(2, 256, 512))
+    k = cp._normalize_desc(desc.reshape(2, 256, 512))
+    fused = e2.apply(params, x, corr_qk=(q, k), corr_out_hw=(16, 16)).vectors_w
+    for a, b in zip(dense, fused):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=2e-4)

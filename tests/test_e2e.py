@@ -28,8 +28,8 @@ def test_train_cli_smoke(tmp_path):
         "train.py", "--name", "smoke", "--checkpoints_dir", str(ckpt),
         "--dataset_mode", "synthetic", "--crop_size", "64", "--load_size", "64",
         "--batch_size", "2", "--total_nimgs", "8", "--save_freq", "8",
-        "--print_freq", "2", "--evaluation_metrics", "none",
-        "--synthetic_size", "8",
+        "--print_freq", "2", "--display_freq", "6",
+        "--evaluation_metrics", "none", "--synthetic_size", "8",
     ]
     run_argv(argv, train_mod.main)
     exp = ckpt / "smoke"
@@ -40,6 +40,7 @@ def test_train_cli_smoke(tmp_path):
     assert (exp / "latest_checkpoint.msgpack").exists()
     log = (exp / "loss_log.txt").read_text()
     assert "G_L1" in log and "D_real" in log
+    assert list((exp / "snapshots").glob("*.png")), "no snapshot grid written"
 
 
 @pytest.mark.slow

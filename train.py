@@ -62,6 +62,23 @@ def main():
                     iter_counter.time_measurements,
                     metric_tracker.current_metrics(),
                 )
+            if iter_counter.needs_displaying():
+                # periodic snapshot grid (the reference ships this hook
+                # commented out; here it saves real/layout/rec/mix rows)
+                import numpy as np
+
+                from ppst_tpu.util.util import save_image, tensor2im, tile_images
+
+                visuals = optimizer.get_visuals_for_snapshot(cur_data)
+                rows = [tensor2im(v) for v in visuals.values()]
+                grid = tile_images(
+                    np.concatenate(rows, 0), picturesPerRow=rows[0].shape[0]
+                )
+                save_image(
+                    grid,
+                    f"{opt.checkpoints_dir}/{opt.name}/snapshots/"
+                    f"{iter_counter.steps_so_far:09d}.png",
+                )
             if iter_counter.needs_saving():
                 optimizer.save(iter_counter.steps_so_far)
             if iter_counter.needs_evaluation():
