@@ -132,9 +132,7 @@ class PPSTModel:
         g_ext = lambda p, s, g, r: self.apply_g(
             p, s, list(g), r, extract_features=True
         )
-        # D forwards on real/rec/mix do need remat: R1 aside, three D
-        # backward graphs at 512px are still sizable
-        d_fwd = self._r(lambda p, x: self.apply_d(p, x))
+        d_fwd = lambda p, x: self.apply_d(p, x)
 
         sp = e1(params, real)
         gl = e2_plain(params, real)
