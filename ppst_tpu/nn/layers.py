@@ -143,8 +143,9 @@ class EqualConv2d(nn.Module):
                 for t2 in range(t):
                     v1 = t - 1 - t1
                     v2 = t - 1 - t2
+                    # python-float tap keeps the accumulation in w.dtype
                     comp = comp.at[v1 : v1 + k, v2 : v2 + k].add(
-                        b2d[t1, t2] * w
+                        float(b2d[t1, t2]) * w
                     )
             w = comp
         pad = self.padding
