@@ -40,8 +40,10 @@ def ssim(a, b, value_range: float = 1.0):
     c1, c2 = 0.01**2, 0.03**2
     mu_a = _filter2d(a, taps)
     mu_b = _filter2d(b, taps)
-    saa = _filter2d(a * a, taps) - mu_a**2
-    sbb = _filter2d(b * b, taps) - mu_b**2
+    # clamp variances: E[x^2]-mu^2 cancellation can go slightly negative on
+    # near-flat windows, which pushes SSIM above 1
+    saa = jnp.maximum(_filter2d(a * a, taps) - mu_a**2, 0.0)
+    sbb = jnp.maximum(_filter2d(b * b, taps) - mu_b**2, 0.0)
     sab = _filter2d(a * b, taps) - mu_a * mu_b
     num = (2 * mu_a * mu_b + c1) * (2 * sab + c2)
     den = (mu_a**2 + mu_b**2 + c1) * (saa + sbb + c2)

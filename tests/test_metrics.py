@@ -22,3 +22,14 @@ def test_psnr(rng):
     b = jnp.clip(a + 0.1, 0, 1)
     assert float(psnr(a, a)[0]) > 100
     assert 10 < float(psnr(a, b)[0]) < 30
+
+
+def test_ssim_bounded_on_flat_images(rng):
+    """Near-constant windows must not push SSIM above 1 (variance
+    cancellation)."""
+    a = jnp.full((1, 32, 32, 3), 0.5) + 1e-4 * jnp.asarray(
+        rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    )
+    b = a + 1e-4
+    s = float(np.mean(np.asarray(ssim(a, b))))
+    assert s <= 1.0 + 1e-6
