@@ -1,0 +1,57 @@
+"""ModelBundle checkpoint save/load round trip (reference
+base_model.py:33-112 semantics: Nk naming + latest symlink, tolerant
+load, D skipped at test time)."""
+
+import argparse
+
+import jax
+import numpy as np
+import pytest
+
+
+def make_opt(tmp_path, **kw):
+    base = dict(
+        name="ckpt_test", checkpoints_dir=str(tmp_path), model="ppst",
+        num_gpus=1, seed=0, crop_size=64, isTrain=True, continue_train=False,
+        resume_iter="latest", pretrained_name=None,
+    )
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+@pytest.mark.slow
+def test_save_load_roundtrip(tmp_path):
+    from ppst_tpu.train.bundle import ModelBundle
+
+    b1 = ModelBundle(make_opt(tmp_path))
+    b1.save(50_000)
+    assert (tmp_path / "ckpt_test" / "50k_checkpoint.msgpack").exists()
+    assert (tmp_path / "ckpt_test" / "latest_checkpoint.msgpack").exists()
+
+    b2 = ModelBundle(make_opt(tmp_path, seed=1))  # different init
+    before = np.asarray(jax.tree.leaves(b2.params["G"])[0])
+    assert not np.allclose(
+        before, np.asarray(jax.tree.leaves(b1.params["G"])[0])
+    )
+    b2.load("latest")
+    for k in ("E1", "E2", "G", "D"):
+        a = jax.tree.leaves(b1.params[k])
+        c = jax.tree.leaves(b2.params[k])
+        for x, y in zip(a, c):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    np.testing.assert_array_equal(
+        np.asarray(b1.state["rscl"]["queues"]),
+        np.asarray(b2.state["rscl"]["queues"]),
+    )
+
+    # test-time load skips D (reference base_model.py:61)
+    b3 = ModelBundle(make_opt(tmp_path, isTrain=False, seed=2))
+    d_init = np.asarray(jax.tree.leaves(b3.params["D"])[0])
+    b3.load("50k")
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(b3.params["D"])[0]), d_init
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(b3.params["G"])[0]),
+        np.asarray(jax.tree.leaves(b1.params["G"])[0]),
+    )
