@@ -47,6 +47,7 @@ class PPSTOptimizer:
         )
         if bundle.opt_states is None:
             bundle.opt_states = init_opt_states(bundle.params)
+            bundle.restore_opt_states()  # from a loaded checkpoint, if any
         bundle.replicate()
 
     def prepare_images(self, data_i):

@@ -110,7 +110,7 @@ class ModelBundle:
             return new
 
         payload = self._ckpt_payload()
-        for key in payload:
+        for key in ("params", "state"):
             if key not in raw:
                 continue
             if key == "params" and skip_d:
@@ -118,11 +118,31 @@ class ModelBundle:
             merged = merge(payload[key], raw[key], key)
             if key == "params":
                 self.params = merged
-            elif key == "state":
+            else:
                 self.state = merged
-            elif key == "opt_states" and self.opt_states is not None:
-                self.opt_states = merged
+        # optax states are tuples/namedtuples; they cannot go through the
+        # tolerant dict merge. Stash the raw tree; the optimizer restores
+        # it against its freshly-built structure (restore_opt_states).
+        self._pending_opt_states = raw.get("opt_states")
         print(f"Loaded checkpoint from {path}")
+
+    def restore_opt_states(self):
+        """Called by the optimizer after building opt_states: restores the
+        Adam moments saved in the checkpoint (the reference silently
+        restarts them on resume — SURVEY.md 5.4)."""
+        pending = getattr(self, "_pending_opt_states", None)
+        if pending is None or self.opt_states is None:
+            return False
+        try:
+            self.opt_states = serialization.from_state_dict(
+                self.opt_states, pending
+            )
+            print("[load] optimizer state restored")
+            return True
+        except Exception as e:  # tolerate structure drift across versions
+            print(f"[load] could not restore optimizer state ({e}); "
+                  "restarting moments")
+            return False
 
     def replicate(self):
         """Place params/state on the mesh (replicated)."""

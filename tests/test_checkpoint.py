@@ -55,3 +55,28 @@ def test_save_load_roundtrip(tmp_path):
         np.asarray(jax.tree.leaves(b3.params["G"])[0]),
         np.asarray(jax.tree.leaves(b1.params["G"])[0]),
     )
+
+
+@pytest.mark.slow
+def test_opt_state_restore(tmp_path):
+    """Adam moments are saved AND restored across resume (the reference
+    silently restarts them)."""
+    from ppst_tpu.train.bundle import ModelBundle
+    from ppst_tpu.train.steps import build_train_steps
+
+    b1 = ModelBundle(make_opt(tmp_path, name="optres"))
+    init_opt, *_ = build_train_steps(b1.model, donate=False)
+    b1.opt_states = init_opt(b1.params)
+    # make the moments nonzero so restoration is observable
+    b1.opt_states = jax.tree.map(lambda x: x + 1.0 if x.dtype.kind == "f" else x,
+                                 b1.opt_states)
+    b1.save(1_000)
+
+    b2 = ModelBundle(make_opt(tmp_path, name="optres", continue_train=True))
+    b2.load("latest")
+    b2.opt_states = init_opt(b2.params)
+    assert b2.restore_opt_states()
+    a = jax.tree.leaves(b1.opt_states)
+    c = jax.tree.leaves(b2.opt_states)
+    for x, y in zip(a, c):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
