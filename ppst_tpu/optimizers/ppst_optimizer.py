@@ -67,7 +67,12 @@ class PPSTOptimizer:
             losses = self.train_discriminator_one_step(images, mask)
         else:
             losses = self.train_generator_one_step(images, mask)
-        out = {k: np.asarray(v) for k, v in losses.items()}
+        # one stacked transfer: fetching ~17 scalars individually costs a
+        # host round trip EACH (~30 ms through the axon relay), which
+        # dominated measured step time
+        keys = list(losses)
+        stacked = np.asarray(jax.numpy.stack([losses[k] for k in keys]))
+        out = dict(zip(keys, stacked))
         if getattr(self.opt, "debug_nan", False):
             bad = [k for k, v in out.items() if not np.isfinite(v).all()]
             if bad:
