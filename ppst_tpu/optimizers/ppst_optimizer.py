@@ -120,5 +120,5 @@ class PPSTOptimizer:
         )
         return {"real": images, "layout": layout, "rec": rec, "mix": mix}
 
-    def save(self, total_steps_so_far):
-        self.bundle.save(total_steps_so_far)
+    def save(self, total_steps_so_far, blocking: bool = True):
+        self.bundle.save(total_steps_so_far, blocking=blocking)

@@ -60,20 +60,45 @@ class ModelBundle:
             payload["opt_states"] = self.opt_states
         return payload
 
-    def save(self, steps: int):
+    def _write_checkpoint(self, payload, steps: int):
         os.makedirs(self.save_dir, exist_ok=True)
         name = f"{steps // 1000}k_checkpoint.msgpack"
         path = os.path.join(self.save_dir, name)
-        payload = jax.tree.map(np.asarray, self._ckpt_payload())
+        data = jax.tree.map(np.asarray, payload)  # device -> host fetch
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
-            f.write(serialization.to_bytes(payload))
+            f.write(serialization.to_bytes(data))
         os.replace(tmp, path)  # atomic save (SURVEY.md 5.3)
         latest = os.path.join(self.save_dir, "latest_checkpoint.msgpack")
         if os.path.islink(latest) or os.path.exists(latest):
             os.remove(latest)
         os.symlink(name, latest)
         print(f"Saved checkpoint at {path}")
+
+    def save(self, steps: int, blocking: bool = True):
+        """Checkpoint. With ``blocking=False`` the device->host fetch and
+        serialization (minutes for the ~2 GB params+moments payload
+        through the relay) run on a background thread; the captured
+        pytrees are immutable device buffers, so training can continue —
+        updated params are NEW buffers. One save in flight at a time."""
+        self.join_pending_save()
+        payload = self._ckpt_payload()
+        if blocking:
+            self._write_checkpoint(payload, steps)
+            return
+        import threading
+
+        t = threading.Thread(
+            target=self._write_checkpoint, args=(payload, steps), daemon=True
+        )
+        t.start()
+        self._save_thread = t
+
+    def join_pending_save(self):
+        t = getattr(self, "_save_thread", None)
+        if t is not None and t.is_alive():
+            t.join()
+        self._save_thread = None
 
     def load(self, resume_iter: str = "latest", pretrained_name: Optional[str] = None):
         """Tolerant load (reference base_model.py:43-112): entries whose

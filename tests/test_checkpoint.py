@@ -80,3 +80,19 @@ def test_opt_state_restore(tmp_path):
     c = jax.tree.leaves(b2.opt_states)
     for x, y in zip(a, c):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.slow
+def test_async_save(tmp_path):
+    from ppst_tpu.train.bundle import ModelBundle
+
+    b = ModelBundle(make_opt(tmp_path, name="async"))
+    b.save(2_000, blocking=False)
+    b.join_pending_save()
+    assert (tmp_path / "async" / "2k_checkpoint.msgpack").exists()
+    # a second bundle can load it
+    b2 = ModelBundle(make_opt(tmp_path, name="async", seed=3))
+    b2.load("latest")
+    a = np.asarray(jax.tree.leaves(b.params["G"])[0])
+    c = np.asarray(jax.tree.leaves(b2.params["G"])[0])
+    np.testing.assert_array_equal(a, c)

@@ -80,7 +80,9 @@ def main():
                     f"{iter_counter.steps_so_far:09d}.png",
                 )
             if iter_counter.needs_saving():
-                optimizer.save(iter_counter.steps_so_far)
+                # async: the ~GBs device->host fetch + serialization run in
+                # the background while training continues
+                optimizer.save(iter_counter.steps_so_far, blocking=False)
             if iter_counter.needs_evaluation():
                 metrics = evaluators.evaluate(
                     model, dataset, iter_counter.steps_so_far
