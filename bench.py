@@ -117,6 +117,17 @@ def main():
     dt = time.perf_counter() - t0
 
     pairs_per_sec = BATCH * ITERS / dt
+    # secondary metrics first (training img/s, measured by
+    # tools/bench_train.py and recorded in BASELINE.md) — the driver
+    # parses the LAST JSON line as the headline
+    if os.environ.get("PPST_BENCH_TRAIN", "0") == "1":
+        from tools.bench_train import measure_training  # pragma: no cover
+
+        img_s = measure_training(crop=CROP)
+        print(json.dumps({
+            "metric": f"training_images_per_sec_per_chip_{CROP}px",
+            "value": round(img_s, 3), "unit": "img/s",
+        }))
     print(
         json.dumps(
             {

@@ -17,12 +17,15 @@ import os
 import numpy as np
 from PIL import Image
 
-# part -> aggregated class (reference g_mask.py:9-28)
+# part -> aggregated class, in the reference's label_list overlay order
+# (reference g_mask.py:8-28): parts later in the dict overwrite earlier
+# ones where they overlap, so ear_r/neck_l/neck/cloth (class 1) must come
+# AFTER hair/hat (class 2) to reproduce the same 3-class masks.
 LABEL_MAP = {
     "skin": 1, "nose": 1, "eye_g": 1, "l_eye": 1, "r_eye": 1,
     "l_brow": 1, "r_brow": 1, "l_ear": 1, "r_ear": 1, "mouth": 1,
-    "u_lip": 1, "l_lip": 1, "ear_r": 1, "neck_l": 1, "neck": 1,
-    "cloth": 1, "hair": 2, "hat": 2,
+    "u_lip": 1, "l_lip": 1, "hair": 2, "hat": 2,
+    "ear_r": 1, "neck_l": 1, "neck": 1, "cloth": 1,
 }
 
 

@@ -12,14 +12,16 @@ import numpy as np
 
 
 def gan_loss(pred, should_be_classified_as_real: bool):
-    """Least-squares GAN loss (reference loss.py:11-18)."""
+    """Least-squares GAN loss (reference loss.py:11-18). Reduction in
+    float32 regardless of the compute dtype."""
+    pred = pred.astype(jnp.float32)
     if should_be_classified_as_real:
         return jnp.mean((pred - 1.0) ** 2)
     return jnp.mean(pred**2)
 
 
 def l1_loss(a, b):
-    return jnp.mean(jnp.abs(a - b))
+    return jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
 
 
 # ---------------------------------------------------------------------------
@@ -57,12 +59,60 @@ def rscl_loss(feat_q, feat_k, feat_k0, queue, nce_T: float):
     contribution is ~e^-143).
     """
     n = feat_q.shape[0]
+    # logits and softmax in f32 (bf16-compute-mode stability; the queue
+    # is stored f32 already)
+    feat_q = feat_q.astype(jnp.float32)
+    feat_k = feat_k.astype(jnp.float32)
+    feat_k0 = feat_k0.astype(jnp.float32)
     l_pos = jnp.sum(feat_q * feat_k, axis=-1, keepdims=True)  # (N, 1)
-    negs = jnp.concatenate([queue, feat_k0.T], axis=1)  # (2048, K + N0)
+    negs = jnp.concatenate([queue.astype(jnp.float32), feat_k0.T], axis=1)
     l_neg2 = feat_q @ negs  # (N, K + N0)
     l_neg1 = jnp.full((n, n), -10.0, feat_q.dtype)
     logits = jnp.concatenate([l_pos, l_neg1, l_neg2], axis=1) / nce_T
     return -jnp.mean(jax.nn.log_softmax(logits, axis=-1)[:, 0])
+
+
+def rscl_loss_sharded(feat_q, feat_k, feat_k0, queue, nce_T: float,
+                      n_dev: int = 1):
+    """Per-rank RSCL loss over region-major stacks, data-parallel faithful.
+
+    ``feat_q``/``feat_k``/``feat_k0`` are (3, B_global, C) stacks of the
+    three region projections. The reference computes the loss per GPU
+    with that rank's LOCAL (3*B_local, C) rows — so the explicit-key
+    negatives for a query are the rank's own 3*B_local keys, not the
+    global batch (rscl.py:42-65 receives pre-DDP local tensors). This
+    reproduces exactly that: rows are regrouped per shard and the
+    k0-negative block is a shard-batched matmul. Under a 'data'-sharded
+    batch every op here is shard-local (no collective-permute storms
+    from concatenating along the sharded axis), and the final mean over
+    equal-size shards equals DDP's mean-of-rank-means.
+
+    For n_dev=1 this is numerically identical to ``rscl_loss`` on the
+    region-concatenated (3B, C) tensors.
+    """
+    r, b, c = feat_q.shape
+    per = b // n_dev
+
+    def shard_fmt(x):
+        # (3, B, C) -> (n_dev, per, 3, C); the transpose keeps the
+        # sharded batch dim intact, the reshape splits it per shard
+        return (
+            x.astype(jnp.float32)
+            .transpose(1, 0, 2)
+            .reshape(n_dev, per, r, c)
+        )
+
+    q, k, k0 = map(shard_fmt, (feat_q, feat_k, feat_k0))
+    n_local = per * r
+    l_pos = jnp.sum(q * k, axis=-1, keepdims=True)  # (d, per, r, 1)
+    l_queue = jnp.einsum("dprc,cn->dprn", q, queue.astype(jnp.float32))
+    l_k0 = jnp.einsum("dprc,dqsc->dprqs", q, k0).reshape(
+        n_dev, per, r, n_local
+    )
+    l_neg1 = jnp.full((n_dev, per, r, n_local), -10.0, jnp.float32)
+    # reference column order: [pos | in-batch const | queue | k0]
+    logits = jnp.concatenate([l_pos, l_neg1, l_queue, l_k0], axis=-1) / nce_T
+    return -jnp.mean(jax.nn.log_softmax(logits, axis=-1)[..., 0])
 
 
 def enqueue_schedule(batch_global: int, n_dev: int):
@@ -101,7 +151,9 @@ def rscl_enqueue(state: dict, layer: int, key0_rs, keyw_rs, n_dev: int):
     half = len(regions) // 2
     k0 = key0_rs[regions[:half], samples[:half]]  # (3*n_dev, 2048)
     kw = keyw_rs[regions[half:], samples[half:]]
-    keys = jnp.concatenate([k0, kw], axis=0)  # (6*n_dev, 2048)
+    keys = jnp.concatenate([k0, kw], axis=0).astype(
+        state["queues"].dtype
+    )  # (6*n_dev, 2048); queue storage stays f32 in bf16 compute mode
 
     n = keys.shape[0]
     ptr = state["ptrs"][layer]

@@ -24,7 +24,7 @@ from ppst_tpu.models.losses import (
     init_rscl_state,
     l1_loss,
     rscl_enqueue,
-    rscl_loss,
+    rscl_loss_sharded,
 )
 from ppst_tpu.ops import lpips as lpips_mod
 from ppst_tpu.ops.corr import corrm, rselfcorr, warp
@@ -111,11 +111,26 @@ class PPSTModel:
     def swap(self, x):
         return batch_swap(x)
 
+    @staticmethod
+    def half_batch(x, n_dev: int = 1):
+        """First half of each device's LOCAL batch (reference
+        ppst_model.py:129-132 ``[:B//2]``, which runs per-GPU under DDP).
+        Under a 'data'-sharded batch the per-shard reshape keeps the
+        slice local to each device — a global ``x[:b//2]`` would instead
+        gather shards from half the mesh (collective-permute storm) and
+        select different samples than the reference's per-rank halves."""
+        b = x.shape[0]
+        if n_dev <= 1:
+            return x[: b // 2]
+        per = b // n_dev
+        y = x.reshape((n_dev, per) + x.shape[1:])[:, : per // 2]
+        return y.reshape((n_dev * (per // 2),) + x.shape[1:])
+
     # ------------------------------------------------------------------
     # losses
     # ------------------------------------------------------------------
 
-    def discriminator_losses(self, params, state, real, mask, rng):
+    def discriminator_losses(self, params, state, real, mask, rng, n_dev: int = 1):
         """Reference ppst_model.py:105-138. Returns (losses, new_state)."""
         cfg = self.cfg
         del mask  # unused by the D step (parity: reference ignores it too)
@@ -150,8 +165,8 @@ class PPSTModel:
 
         b = real.shape[0]
         assert b % 2 == 0, "batch size must be even on each shard"
-        gl_half = [g[: b // 2] for g in gl]
-        rec = g_fwd(params, sp[: b // 2], gl_half, r_rec)
+        gl_half = [self.half_batch(g, n_dev) for g in gl]
+        rec = g_fwd(params, self.half_batch(sp, n_dev), gl_half, r_rec)
 
         losses = {}
         if cfg.lambda_GAN > 0.0:
@@ -178,7 +193,7 @@ class PPSTModel:
         def score(x):
             return jnp.sum(self.apply_d(params, x))
 
-        grad_real = jax.grad(score)(real)
+        grad_real = jax.grad(score)(real).astype(jnp.float32)
         penalty = jnp.sum(grad_real**2, axis=(1, 2, 3)) * (self.cfg.lambda_R1 * 0.5)
         return {"D_R1": jnp.mean(penalty)}
 
@@ -248,9 +263,11 @@ class PPSTModel:
             pro_3m = e2_mask(params, mix, self.swap(mask))
             pro_2m = e2_mask(params, rec, mask)
             sp_3 = e1(params, mix)
-            gl_half = [g[: b // 2] for g in gl]
-            cyc = g_fwd(params, self.swap(sp_3)[: b // 2], gl_half, r_cyc)
-            metrics["L1_dist"] = l1_loss(cyc, real[: b // 2])
+            gl_half = [self.half_batch(g, n_dev) for g in gl]
+            cyc = g_fwd(
+                params, self.half_batch(self.swap(sp_3), n_dev), gl_half, r_cyc
+            )
+            metrics["L1_dist"] = l1_loss(cyc, self.half_batch(real, n_dev))
             losses["G_L1_cyc"] = metrics["L1_dist"] * 3.0
 
             styleloss = 0.0
@@ -259,19 +276,23 @@ class PPSTModel:
             new_rscl = state["rscl"]
             for scale in range(4):
                 sl = slice(3 * scale, 3 * scale + 3)
-                key0 = jnp.concatenate(pro_ms[sl], axis=0)  # (3B, 2048)
-                keyw = jnp.concatenate(pro_mw[sl], axis=0)
-                query = jnp.concatenate(pro_3m[sl], axis=0)
-                query_r = jnp.concatenate(pro_2m[sl], axis=0)
+                # region-major (3, B, 2048) stacks: stacking on a NEW
+                # axis keeps the sharded batch axis intact (concatenating
+                # along it forces cross-device resharding in the sharded
+                # step — measured as ~100 collective-permutes)
+                key0 = jnp.stack(pro_ms[sl])
+                keyw = jnp.stack(pro_mw[sl])
+                query = jnp.stack(pro_3m[sl])
+                query_r = jnp.stack(pro_2m[sl])
                 queue = sg(state["rscl"]["queues"][scale])
-                styleloss += rscl_loss(query, sg(keyw), sg(key0), queue, cfg.nce_T)
-                styleloss2 += rscl_loss(query_r, sg(key0), sg(keyw), queue, cfg.nce_T)
+                styleloss += rscl_loss_sharded(
+                    query, sg(keyw), sg(key0), queue, cfg.nce_T, n_dev
+                )
+                styleloss2 += rscl_loss_sharded(
+                    query_r, sg(key0), sg(keyw), queue, cfg.nce_T, n_dev
+                )
                 new_rscl = rscl_enqueue(
-                    new_rscl,
-                    scale,
-                    sg(key0).reshape(3, b, -1),
-                    sg(keyw).reshape(3, b, -1),
-                    n_dev,
+                    new_rscl, scale, sg(key0), sg(keyw), n_dev
                 )
             state = dict(state, rscl=new_rscl)
             losses["G_styleContmix"] = styleloss * cfg.lambda_StyleCon

@@ -67,6 +67,8 @@ class PPSTOptimizer:
             losses = self.train_discriminator_one_step(images, mask)
         else:
             losses = self.train_generator_one_step(images, mask)
+        if not losses:  # e.g. --lambda_GAN 0 skips the D step entirely
+            return {}
         # one stacked transfer: fetching ~17 scalars individually costs a
         # host round trip EACH (~30 ms through the axon relay), which
         # dominated measured step time

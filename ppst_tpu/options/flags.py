@@ -28,6 +28,8 @@ def add_model_flags(parser, is_train):
                         type=str2bool, nargs="?", const=True, default=True)
     parser.add_argument("--nce_T", type=float, default=0.07,
                         help="temperature for NCE loss")
+    # (--dtype lives in the base options, ppst_tpu/options/__init__.py;
+    # train steps consume it via PPSTConfig.dtype)
     return parser
 
 

@@ -21,6 +21,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     n = n_devices or len(devices)
+    if len(devices) < n:
+        raise RuntimeError(
+            f"make_mesh({n}): only {len(devices)} {jax.default_backend()} "
+            f"device(s) visible. For a virtual multi-device CPU mesh set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} and "
+            f"jax_platforms=cpu before backend init."
+        )
     return Mesh(np.asarray(devices[:n]), (axis,))
 
 

@@ -41,6 +41,19 @@ class ModelBundle:
         with jax.default_device(jax.devices()[0]):
             self.params, self.state = self.model.init(init_key, self.cfg.crop_size)
         self.opt_states: Optional[Dict[str, Any]] = None  # set by the optimizer
+        if jax.process_index() == 0:
+            # startup param-count printout (reference base_network.py:13-28,
+            # printed at network creation via networks/__init__.py:47-48)
+            from ppst_tpu.util.util import print_architecture
+
+            for key in ("E1", "E2", "G", "D"):
+                net = {"E1": "e1", "E2": "e2", "G": "g", "D": "d"}[key]
+                print_architecture(
+                    type(getattr(self.model, net, None)).__name__
+                    if getattr(self.model, net, None) is not None else key,
+                    self.params.get(key, {}),
+                    verbose=getattr(opt, "verbose", False),
+                )
 
     # -- rng ------------------------------------------------------------
 
@@ -64,7 +77,7 @@ class ModelBundle:
         os.makedirs(self.save_dir, exist_ok=True)
         name = f"{steps // 1000}k_checkpoint.msgpack"
         path = os.path.join(self.save_dir, name)
-        data = jax.tree.map(np.asarray, payload)  # device -> host fetch
+        data = jax.tree.map(np.asarray, payload)  # no-op if already on host
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(serialization.to_bytes(data))
@@ -76,21 +89,29 @@ class ModelBundle:
         print(f"Saved checkpoint at {path}")
 
     def save(self, steps: int, blocking: bool = True):
-        """Checkpoint. With ``blocking=False`` the device->host fetch and
-        serialization (minutes for the ~2 GB params+moments payload
-        through the relay) run on a background thread; the captured
-        pytrees are immutable device buffers, so training can continue —
-        updated params are NEW buffers. One save in flight at a time."""
+        """Checkpoint. With ``blocking=False`` only serialization + disk
+        IO run on a background thread. The device->host fetch happens
+        synchronously here: the train steps are built with donated input
+        buffers (optimizers/ppst_optimizer.py), so a device buffer
+        captured by the writer thread would be deleted by the next step
+        before the thread reads it. One save in flight at a time; writer
+        failures are re-raised at the next join/save."""
         self.join_pending_save()
-        payload = self._ckpt_payload()
+        # Host fetch before the thread starts: after this the payload is
+        # numpy, untouched by buffer donation.
+        payload = jax.tree.map(np.asarray, jax.device_get(self._ckpt_payload()))
         if blocking:
             self._write_checkpoint(payload, steps)
             return
         import threading
 
-        t = threading.Thread(
-            target=self._write_checkpoint, args=(payload, steps), daemon=True
-        )
+        def _write():
+            try:
+                self._write_checkpoint(payload, steps)
+            except BaseException as e:  # surfaced by join_pending_save
+                self._save_error = e
+
+        t = threading.Thread(target=_write, daemon=True)
         t.start()
         self._save_thread = t
 
@@ -99,6 +120,10 @@ class ModelBundle:
         if t is not None and t.is_alive():
             t.join()
         self._save_thread = None
+        err = getattr(self, "_save_error", None)
+        if err is not None:
+            self._save_error = None
+            raise RuntimeError("async checkpoint save failed") from err
 
     def load(self, resume_iter: str = "latest", pretrained_name: Optional[str] = None):
         """Tolerant load (reference base_model.py:43-112): entries whose

@@ -55,6 +55,15 @@ def build_train_steps(
     """
     cfg = model.cfg
     opts = make_optimizers(cfg)
+    import jax.numpy as jnp
+
+    compute_dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+    def cast_batch(real, mask):
+        """Compute dtype is driven by the input dtype throughout the
+        model stack (weights cast to x.dtype at use); params, optimizer
+        state, and loss reductions stay float32."""
+        return real.astype(compute_dt), mask.astype(compute_dt)
 
     def init_opt_states(params):
         return {k: opts[k].init(params[k]) for k in opts}
@@ -64,7 +73,9 @@ def build_train_steps(
     def _d_update(params, state, opt_states, real, mask, rng):
         def loss_fn(d_params):
             p = dict(params, D=d_params)
-            losses, new_state = model.discriminator_losses(p, state, real, mask, rng)
+            losses, new_state = model.discriminator_losses(
+                p, state, real, mask, rng, n_dev=n_dev
+            )
             return sum(losses.values()), (losses, new_state)
 
         grads, (losses, new_state) = jax.grad(loss_fn, has_aux=True)(params["D"])
@@ -74,6 +85,7 @@ def build_train_steps(
         return params, new_state, opt_states, losses
 
     def d_step(params, state, opt_states, real, mask, rng):
+        real, mask = cast_batch(real, mask)
         params, state, opt_states, losses = _d_update(
             params, state, opt_states, real, mask, rng
         )
@@ -84,6 +96,7 @@ def build_train_steps(
         """D update followed by a separate lazy-R1 update on the freshly
         updated D (the reference runs two optimizer_D.step()s,
         ppst_optimizer.py:113-126), with the x R1_once_every scaling."""
+        real, mask = cast_batch(real, mask)
         params, state, opt_states, losses = _d_update(
             params, state, opt_states, real, mask, rng
         )
@@ -104,6 +117,8 @@ def build_train_steps(
     # -- G ---------------------------------------------------------------
 
     def g_step(params, state, opt_states, real, mask, rng):
+        real, mask = cast_batch(real, mask)
+
         def loss_fn(ge_params):
             p = dict(ge_params, D=params["D"])
             losses, metrics, new_state = model.generator_losses(

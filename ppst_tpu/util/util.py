@@ -112,3 +112,31 @@ def visualize_spatial_code(sp):
     lo, hi = proj.min(0), proj.max(0)
     proj = (proj - lo) / np.maximum(hi - lo, 1e-8) * 2.0 - 1.0
     return proj.reshape(b, h, w, 3)
+
+
+def print_architecture(net_name: str, params, verbose: bool = True):
+    """Startup parameter-count printout, format-compatible with the
+    reference's BaseNetwork.print_architecture (reference
+    models/networks/base_network.py:13-28, called from
+    models/networks/__init__.py:47-48 on rank 0 at network creation)."""
+    import jax
+
+    result = "-------------------%s---------------------\n" % net_name
+    total = 0
+    for child, sub in sorted(params.items()) if isinstance(params, dict) else []:
+        n = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(sub))
+        total += n
+        if verbose:
+            result += "%s: %3.3fM\n" % (child, n / 1e6)
+            if isinstance(sub, dict):
+                for gname, gsub in sorted(sub.items()):
+                    gn = sum(
+                        int(np.prod(l.shape)) for l in jax.tree.leaves(gsub)
+                    )
+                    result += "\t%s: %3.3fM\n" % (gname, gn / 1e6)
+    result += (
+        "[Network %s] Total number of parameters : %.3f M\n"
+        % (net_name, total / 1e6)
+    )
+    result += "-----------------------------------------------\n"
+    print(result)

@@ -7,6 +7,9 @@ from ppst_tpu.train import create_model
 
 
 def main():
+    from ppst_tpu.util.cache import setup_compile_cache
+
+    setup_compile_cache()
     opt = TestOptions().parse()
     model = create_model(opt)
     dataset = data.create_dataset(opt)

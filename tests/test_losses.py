@@ -11,6 +11,7 @@ from ppst_tpu.models.losses import (
     init_rscl_state,
     rscl_enqueue,
     rscl_loss,
+    rscl_loss_sharded,
 )
 
 
@@ -65,6 +66,60 @@ def test_rscl_loss_matches_torch_oracle(rng):
         jnp.asarray(q), jnp.asarray(kk), jnp.asarray(k0), jnp.asarray(queue), 0.07
     )
     np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+def test_rscl_loss_sharded_matches_flat_single_device(rng):
+    """n_dev=1: the (3, B, C) stacked form must equal the reference-shaped
+    flat rscl_loss on the region-concatenated (3B, C) tensors."""
+    b = 4
+    q = rng.standard_normal((3, b, 2048)).astype(np.float32)
+    k = rng.standard_normal((3, b, 2048)).astype(np.float32)
+    k0 = rng.standard_normal((3, b, 2048)).astype(np.float32)
+    queue = rng.standard_normal((2048, QUEUE_SIZE)).astype(np.float32)
+    flat = rscl_loss(
+        jnp.asarray(q.reshape(-1, 2048)),
+        jnp.asarray(k.reshape(-1, 2048)),
+        jnp.asarray(k0.reshape(-1, 2048)),
+        jnp.asarray(queue),
+        0.07,
+    )
+    sharded = rscl_loss_sharded(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(k0), jnp.asarray(queue),
+        0.07, n_dev=1,
+    )
+    np.testing.assert_allclose(float(sharded), float(flat), rtol=1e-5)
+
+
+def test_rscl_loss_sharded_multi_device_per_rank_semantics(rng):
+    """n_dev=2: must equal the mean of per-rank flat losses, each rank
+    using only ITS local 3*B_local rows as explicit-key negatives (the
+    reference's DDP behavior: rscl.py:42-65 gets pre-gather local
+    tensors)."""
+    b, n_dev = 4, 2
+    per = b // n_dev
+    q = rng.standard_normal((3, b, 2048)).astype(np.float32)
+    k = rng.standard_normal((3, b, 2048)).astype(np.float32)
+    k0 = rng.standard_normal((3, b, 2048)).astype(np.float32)
+    queue = rng.standard_normal((2048, QUEUE_SIZE)).astype(np.float32)
+    rank_losses = []
+    for d in range(n_dev):
+        sl = slice(d * per, (d + 1) * per)
+        rank_losses.append(
+            float(
+                rscl_loss(
+                    jnp.asarray(q[:, sl].reshape(-1, 2048)),
+                    jnp.asarray(k[:, sl].reshape(-1, 2048)),
+                    jnp.asarray(k0[:, sl].reshape(-1, 2048)),
+                    jnp.asarray(queue),
+                    0.07,
+                )
+            )
+        )
+    sharded = rscl_loss_sharded(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(k0), jnp.asarray(queue),
+        0.07, n_dev=n_dev,
+    )
+    np.testing.assert_allclose(float(sharded), np.mean(rank_losses), rtol=1e-5)
 
 
 def test_enqueue_schedule_single_device():

@@ -28,6 +28,39 @@ def sync(tree):
     np.asarray(jax.tree.leaves(tree)[0].ravel()[0])
 
 
+def measure_training(crop: int = 512, batch: int = 2, iters: int = 5) -> float:
+    """Steady-state training images/sec (one D + one G step consume two
+    batches, reference train loop semantics). Importable by bench.py's
+    optional PPST_BENCH_TRAIN=1 secondary metric."""
+    from ppst_tpu.models.config import PPSTConfig
+    from ppst_tpu.models.ppst import PPSTModel
+    from ppst_tpu.train.steps import build_train_steps
+    from ppst_tpu.util.fast_init import random_params_like
+
+    cfg = PPSTConfig(crop_size=crop)
+    model = PPSTModel(cfg)
+    params, state = random_params_like(
+        lambda: model.init(jax.random.PRNGKey(0), crop), seed=0
+    )
+    init_opt, d_step, d_step_r1, g_step = build_train_steps(model, donate=False)
+    opt_states = init_opt(params)
+    params, state, opt_states = jax.device_put((params, state, opt_states))
+    real = jax.random.normal(jax.random.PRNGKey(1), (batch, crop, crop, 3)) * 0.3
+    mask = jnp.zeros((batch, crop, crop, 3)).at[..., 0].set(1.0)
+
+    total = 0.0
+    for step in (d_step, g_step):
+        p, s, o, losses = step(params, state, opt_states, real, mask,
+                               jax.random.PRNGKey(2))
+        sync(losses)
+        t0 = time.time()
+        for i in range(iters):
+            p, s, o, losses = step(p, s, o, real, mask, jax.random.PRNGKey(3 + i))
+        sync(losses)
+        total += (time.time() - t0) / iters
+    return batch * 2 / total
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--crop", type=int, default=512)

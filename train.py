@@ -10,6 +10,9 @@ from ppst_tpu.util import IterationCounter, MetricTracker, Visualizer
 
 
 def main():
+    from ppst_tpu.util.cache import setup_compile_cache
+
+    setup_compile_cache()
     opt = TrainOptions().parse()
     model = create_model(opt)
     dataset = data.create_dataset(opt)
@@ -30,6 +33,7 @@ def main():
         raise SystemExit(0)
 
     signal.signal(signal.SIGTERM, _save_and_exit)
+    signal.signal(signal.SIGINT, _save_and_exit)
 
     profiling = False
     step_idx = 0
