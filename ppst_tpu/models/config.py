@@ -95,6 +95,13 @@ class PPSTConfig:
         return int(min(512, ch) * self.netG_scale_capacity)
 
     @property
+    def g_fuse_ch(self) -> int:
+        """Channel width of the generator feature branch's fused output
+        (concat of the n_up+1 taps; 256 at the reference default) — also
+        the mean-centered head size of the correspondence descriptor."""
+        return (self.netE_num_downsampling_sp + 1) * (self.netG_resnet_ch // 4)
+
+    @property
     def e_blur_kernel(self):
         return (1, 2, 1) if self.use_antialias else (1,)
 

@@ -63,9 +63,13 @@ def batch_swap(x):
 
 class _ProjectionHead(nn.Module):
     """cat(GAP, GMP) -> 1x1 reducer -> ReLU/MLP(1024, 2048, 2048) ->
-    L2 normalize (reference encoder_col.py:47-93)."""
+    L2 normalize (reference encoder_col.py:47-93). The MLP widths scale
+    with ``style_dim`` (reference hard-codes 1024/2048/2048 for its fixed
+    global_code_ch=2048; identical at the default, and lets slimmed
+    configs — e.g. the multichip dryrun — shrink the dominant MLPs)."""
 
     reduce_to: int
+    style_dim: int = 2048
 
     @nn.compact
     def __call__(self, feat):
@@ -74,11 +78,11 @@ class _ProjectionHead(nn.Module):
         y = jnp.concatenate([gap, gmp], axis=-1)
         y = TorchLinear(self.reduce_to, name="reduce")(y)
         y = nn.relu(y)
-        y = TorchLinear(1024, normal_std=0.02, name="fc0")(y)
+        y = TorchLinear(max(self.style_dim // 2, 1), normal_std=0.02, name="fc0")(y)
         y = nn.relu(y)
-        y = TorchLinear(2048, normal_std=0.02, name="fc1")(y)
+        y = TorchLinear(self.style_dim, normal_std=0.02, name="fc1")(y)
         y = nn.relu(y)
-        y = TorchLinear(2048, normal_std=0.02, name="fc2")(y)
+        y = TorchLinear(self.style_dim, normal_std=0.02, name="fc2")(y)
         return l2_normalize(y)
 
 
@@ -87,10 +91,21 @@ def _warp_features(x, corr, out_hw=None, fast_pool=False):
     corr source grid, warp, and resize back when above grid resolution.
     ``fast_pool`` skips the resize-back (valid when the result is only
     globally pooled; see PPSTConfig.e2_fast_warp_pool)."""
-    from ppst_tpu.ops.corr import adaptive_avg_pool
+    from ppst_tpu.ops.corr import adaptive_avg_pool, resize_bilinear
 
     lk = corr.shape[2]
     h, w = x.shape[1], x.shape[2]
+    if h * w < lk:
+        # scale below the correspondence grid (only reachable in slimmed
+        # geometries the reference does not support): upsample to the
+        # grid, warp there, and pool back to the scale's own resolution
+        g = int(round(lk**0.5))
+        warped = warp(resize_bilinear(x, (g, g)), corr, out_hw=out_hw)
+        if out_hw is None:
+            from ppst_tpu.ops.corr import adaptive_avg_pool as _pool
+
+            warped = _pool(warped, (h, w))
+        return warped
     if h * w > lk:
         if fast_pool:
             s = int(round((h * w / lk) ** 0.5))
@@ -155,7 +170,7 @@ class ColorEncoder(nn.Module):
         fast_pool = cfg.e2_fast_warp_pool and mask is None
 
         y = ConvLayer(cfg.nc_e2(0), 1, name="from_rgb")(x)
-        head = _ProjectionHead(cfg.nc_e2(0), name="head_in")
+        head = _ProjectionHead(cfg.nc_e2(0), cfg.style_dim, name="head_in")
         yw = None
         if corrmatrix is not None:
             yw = _warp_features(y, corrmatrix, corr_out_hw, fast_pool)
@@ -172,7 +187,9 @@ class ColorEncoder(nn.Module):
                 reflection_pad=True,
                 name=f"down{2 ** layer_id}",
             )(y)
-            head = _ProjectionHead(cfg.nc_e2(layer_id + 1), name=f"head{layer_id}")
+            head = _ProjectionHead(
+                cfg.nc_e2(layer_id + 1), cfg.style_dim, name=f"head{layer_id}"
+            )
             yw = None
             if corrmatrix is not None:
                 yw = _warp_features(

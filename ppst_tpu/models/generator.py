@@ -127,26 +127,30 @@ class _FeatureTap(nn.Module):
     """Per-resolution feature tap (reference generator.py:174-224:
     layer32/64/128 = padded 3x3 stack, layer256 = 1x1 stack). The leading
     instance norm runs on the *padded* input, matching the reference's
-    Sequential ordering."""
+    Sequential ordering. Channel widths derive from ``feature_ch``
+    (reference ``feature_channel=256`` -> 128/64, identical at the
+    default; slimmed configs scale the whole branch)."""
 
     conv1x1: bool = False
+    feature_ch: int = 256
 
     @nn.compact
     def __call__(self, x):
+        mid, out = self.feature_ch // 2, self.feature_ch // 4
         if self.conv1x1:
             y = instance_norm(x)
-            y = TorchConv2d(64, 1, name="conv1")(y)
+            y = TorchConv2d(out, 1, name="conv1")(y)
             y = instance_norm(y)
             y = PReLU(name="prelu1")(y)
-            y = TorchConv2d(64, 1, name="conv2")(y)
+            y = TorchConv2d(out, 1, name="conv2")(y)
             y = instance_norm(y)
             return PReLU(name="prelu2")(y)
         y = instance_norm(_pad_replicate(x, 1))
-        y = TorchConv2d(128, 3, name="conv1")(y)
+        y = TorchConv2d(mid, 3, name="conv1")(y)
         y = instance_norm(y)
         y = PReLU(name="prelu1")(y)
         y = _pad_replicate(y, 1)
-        y = TorchConv2d(64, 3, name="conv2")(y)
+        y = TorchConv2d(out, 3, name="conv2")(y)
         y = instance_norm(y)
         return PReLU(name="prelu2")(y)
 
@@ -187,9 +191,12 @@ class Generator(nn.Module):
                 x, codes[-1], take2()
             )
 
+        fc = cfg.netG_resnet_ch  # reference feature_channel (generator.py:226)
         feas = []
         if extract_features:
-            feas.append(_FeatureTap(name="tap32")(jax.lax.stop_gradient(x)))
+            feas.append(
+                _FeatureTap(feature_ch=fc, name="tap32")(jax.lax.stop_gradient(x))
+            )
         h0, w0 = x.shape[1], x.shape[2]
 
         for j in range(n_up):
@@ -198,9 +205,11 @@ class Generator(nn.Module):
             )(x, codes[-2 - j], take2())
             if extract_features:
                 feas.append(
-                    _FeatureTap(conv1x1=(j == n_up - 1), name=f"tap{2 ** (6 + j)}")(
-                        jax.lax.stop_gradient(x)
-                    )
+                    _FeatureTap(
+                        conv1x1=(j == n_up - 1),
+                        feature_ch=fc,
+                        name=f"tap{2 ** (6 + j)}",
+                    )(jax.lax.stop_gradient(x))
                 )
 
         rgb = ToRGB(name="to_rgb")(x, codes[0])
@@ -216,10 +225,13 @@ class Generator(nn.Module):
         feat1 = jnp.concatenate(
             [resize_bilinear(f, (4 * h0, 4 * w0)) for f in feas], axis=-1
         )
+        # fuse width = concat of the (n_up+1) taps; == fc (=256) at the
+        # reference's 3-downsample default
+        fuse_ch = cfg.g_fuse_ch
         for i in range(3):
-            feat = _ResidualBlock(256, name=f"fuse{i}")(feat)
-        feat1 = _ResidualBlock(256, name="fuse1_res")(feat1)
-        feat1 = TorchConv2d(64, 1, name="fuse1_conv")(feat1)
+            feat = _ResidualBlock(fuse_ch, name=f"fuse{i}")(feat)
+        feat1 = _ResidualBlock(fuse_ch, name="fuse1_res")(feat1)
+        feat1 = TorchConv2d(fc // 4, 1, name="fuse1_conv")(feat1)
         return rgb, feat, feat1
 
 

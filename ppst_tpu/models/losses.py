@@ -33,13 +33,16 @@ NUM_QUEUES = 4
 CODE_DIM = 2048
 
 
-def init_rscl_state(rng) -> dict:
+def init_rscl_state(rng, code_dim: int = CODE_DIM,
+                    queue_size: int = QUEUE_SIZE) -> dict:
     """4 per-scale queues of 128 column-normalized 2048-d keys + ring
-    pointers (reference rscl.py:23-40)."""
+    pointers (reference rscl.py:23-40). ``code_dim``/``queue_size`` track
+    the config's style_dim for slimmed configs (defaults match the
+    reference)."""
     keys = jax.random.split(rng, NUM_QUEUES)
     queues = []
     for k in keys:
-        q = jax.random.normal(k, (CODE_DIM, QUEUE_SIZE), jnp.float32)
+        q = jax.random.normal(k, (code_dim, queue_size), jnp.float32)
         q = q / jnp.linalg.norm(q, axis=0, keepdims=True)
         queues.append(q)
     return {
@@ -156,10 +159,11 @@ def rscl_enqueue(state: dict, layer: int, key0_rs, keyw_rs, n_dev: int):
     )  # (6*n_dev, 2048); queue storage stays f32 in bf16 compute mode
 
     n = keys.shape[0]
+    queue_size = state["queues"].shape[-1]
     ptr = state["ptrs"][layer]
-    pos = (ptr + jnp.arange(n, dtype=jnp.int32)) % QUEUE_SIZE
+    pos = (ptr + jnp.arange(n, dtype=jnp.int32)) % queue_size
     q = state["queues"][layer].at[:, pos].set(keys.T)
     return {
         "queues": state["queues"].at[layer].set(q),
-        "ptrs": state["ptrs"].at[layer].set((ptr + n) % QUEUE_SIZE),
+        "ptrs": state["ptrs"].at[layer].set((ptr + n) % queue_size),
     }

@@ -66,7 +66,7 @@ class PPSTModel:
             "D": self.d.init(k_d, x)["params"],
         }
         state = {
-            "rscl": init_rscl_state(k_q),
+            "rscl": init_rscl_state(k_q, code_dim=self.cfg.style_dim),
             "num_d_iters": jnp.zeros((), jnp.int32),
         }
         return params, state
@@ -110,6 +110,12 @@ class PPSTModel:
 
     def swap(self, x):
         return batch_swap(x)
+
+    def corrm(self, fea, fea0):
+        """Dense correspondence with the mean-centered head sized to the
+        generator feature branch (cfg.g_fuse_ch; 256 at the reference
+        default — ppst_model.py:341-364 splits at 256)."""
+        return corrm(fea, fea0, split=self.cfg.g_fuse_ch)
 
     @staticmethod
     def half_batch(x, n_dev: int = 1):
@@ -155,8 +161,8 @@ class PPSTModel:
         if cfg.training_stage == 2:
             _, feas, feas1 = g_ext(params, sp, gl, r_ext)
             sps = jnp.concatenate([feas, rselfcorr(feas1)], axis=-1)
-            corr_sw = corrm(sps, self.swap(sps))
-            corr_self = corrm(sps, sps)
+            corr_sw = self.corrm(sps, self.swap(sps))
+            corr_self = self.corrm(sps, sps)
             if cfg.lambda_StyleCon > 0.0:
                 gl_w = e2_w(params, real, corr_sw)
                 mix = g_fwd(params, self.swap(sp), gl_w, r_mix)
@@ -164,7 +170,13 @@ class PPSTModel:
             gl = e2_w(params, real, corr_self)
 
         b = real.shape[0]
-        assert b % 2 == 0, "batch size must be even on each shard"
+        # swap() pairs and half_batch() slice within each device's LOCAL
+        # batch, so the PER-SHARD batch must be even (reference: "Batch
+        # size must be even on each GPU", options/__init__.py:146)
+        assert b % (2 * n_dev) == 0, (
+            f"global batch {b} must be a multiple of 2*n_dev={2 * n_dev} "
+            "(even per-shard batch)"
+        )
         gl_half = [self.half_batch(g, n_dev) for g in gl]
         rec = g_fwd(params, self.half_batch(sp, n_dev), gl_half, r_rec)
 
@@ -208,6 +220,10 @@ class PPSTModel:
         r_ext, r_rec, r_mix, r_cyc = jax.random.split(rng, 4)
         losses, metrics = {}, {}
         b = real.shape[0]
+        assert b % (2 * n_dev) == 0, (
+            f"global batch {b} must be a multiple of 2*n_dev={2 * n_dev} "
+            "(even per-shard batch)"
+        )
 
         e1 = self._r(lambda p, x: self.apply_e1(p, x))
         e2_plain = self._r(lambda p, x: tuple(self.apply_e2(p, x).vectors))
@@ -236,8 +252,8 @@ class PPSTModel:
         if cfg.training_stage == 2:
             _, feas, feas1 = g_ext(params, sp, gl, r_ext)
             sps = jnp.concatenate([feas, rselfcorr(feas1)], axis=-1)
-            corr_sw = corrm(sps, self.swap(sps))
-            corr_self = corrm(sps, sps)
+            corr_sw = self.corrm(sps, self.swap(sps))
+            corr_self = self.corrm(sps, sps)
             gl = e2_w(params, real, corr_self)
             if cfg.lambda_StyleCon > 0.0:
                 out = e2_full(params, real, corr_sw, mask)
@@ -383,7 +399,7 @@ class PPSTModel:
 
         sp_c, vec_c, desc_c = image_desc(content, r_c)
         _, _, desc_s = image_desc(style, r_s)
-        corr = corrm(desc_s, desc_c)
+        corr = self.corrm(desc_s, desc_c)
         gl_w = self.e2.apply(
             {"params": params["E2"]},
             style,
@@ -435,4 +451,4 @@ class PPSTModel:
         fea_s, fea_s1 = self.extract_feat_from_image(params, img_s, r2)
         desc_c = jnp.concatenate([fea_c, rselfcorr(fea_c1)], axis=-1)
         desc_s = jnp.concatenate([fea_s, rselfcorr(fea_s1)], axis=-1)
-        return corrm(desc_s, desc_c)
+        return self.corrm(desc_s, desc_c)

@@ -135,19 +135,23 @@ class EqualConv2d(nn.Module):
             b2d = np.outer(taps, taps)
             b2d = b2d / b2d.sum()
             t = b2d.shape[0]
-            kk = k + t - 1
-            comp = jnp.zeros((kk, kk) + w.shape[2:], w.dtype)
             # C[v] = sum_t B[t] W[v - (t_len-1) + t]  (cross-correlation,
-            # flipped placement) so that corr(conv(x, B), W) == corr(x, C)
-            for t1 in range(t):
-                for t2 in range(t):
-                    v1 = t - 1 - t1
-                    v2 = t - 1 - t2
-                    # python-float tap keeps the accumulation in w.dtype
-                    comp = comp.at[v1 : v1 + k, v2 : v2 + k].add(
-                        float(b2d[t1, t2]) * w
-                    )
-            w = comp
+            # flipped placement) so that corr(conv(x, B), W) == corr(x, C).
+            # Expressed as ONE full-padding conv over the kernel's spatial
+            # dims with (in, out) as the batch axis — a t*t-term unrolled
+            # .at[].add loop here costs ~30 HLO ops per conv (x2-3 with
+            # autodiff), which dominated the train-step module size.
+            in_ch_w, out_ch = w.shape[2], w.shape[3]
+            wb = w.transpose(2, 3, 0, 1).reshape(in_ch_w * out_ch, k, k, 1)
+            # derivation: comp[a] = sum_j b2d[t-1-j] w[a-j]; a full-pad
+            # correlate gives out[a] = sum_j kern[t-1-j] w[a-j] -> kern=b2d
+            bk = jnp.asarray(b2d, w.dtype).reshape(t, t, 1, 1)
+            comp = jax.lax.conv_general_dilated(
+                wb, bk, (1, 1), ((t - 1, t - 1), (t - 1, t - 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            kk = k + t - 1
+            w = comp.reshape(in_ch_w, out_ch, kk, kk).transpose(2, 3, 0, 1)
         pad = self.padding
         if isinstance(pad, int):
             pad = ((pad, pad), (pad, pad))
