@@ -29,8 +29,9 @@ def setup_compile_cache(jax=None):
                         break
         except OSError:
             pass
+    prefix = os.environ.get("PPST_JAX_CACHE_PREFIX", "/root/.cache/jax_ppst")
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.environ.get("PPST_JAX_CACHE", f"/root/.cache/jax_ppst_{key}"),
+        os.environ.get("PPST_JAX_CACHE", f"{prefix}_{key}"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)

@@ -23,9 +23,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the G-step graph takes minutes to compile on
-# CPU; cache it across test runs.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_ppst_tests")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+# CPU; cache it across test runs. Keyed by the host-ISA fingerprint
+# (ppst_tpu.util.cache): an unfingerprinted shared dir demonstrably loads
+# XLA:CPU AOT artifacts compiled for another host's target features.
+import os as _os
+
+_os.environ.setdefault("PPST_JAX_CACHE_PREFIX", "/root/.cache/jax_ppst_tests")
+from ppst_tpu.util.cache import setup_compile_cache
+
+setup_compile_cache(jax)
 
 import numpy as np
 import pytest
