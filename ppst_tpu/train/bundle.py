@@ -89,24 +89,29 @@ class ModelBundle:
         print(f"Saved checkpoint at {path}")
 
     def save(self, steps: int, blocking: bool = True):
-        """Checkpoint. With ``blocking=False`` only serialization + disk
-        IO run on a background thread. The device->host fetch happens
-        synchronously here: the train steps are built with donated input
-        buffers (optimizers/ppst_optimizer.py), so a device buffer
-        captured by the writer thread would be deleted by the next step
-        before the thread reads it. One save in flight at a time; writer
-        failures are re-raised at the next join/save."""
+        """Checkpoint. With ``blocking=False`` the training thread only
+        snapshots the payload into FRESH device buffers (an O(device
+        memcpy) `.copy()` per leaf — immune to the train steps' buffer
+        donation deleting the originals); the slow device->host fetch
+        through the relay AND serialization + disk IO all run on the
+        background thread. One save in flight at a time; writer failures
+        are re-raised at the next join/save."""
         self.join_pending_save()
-        # Host fetch before the thread starts: after this the payload is
-        # numpy, untouched by buffer donation.
-        payload = jax.tree.map(np.asarray, jax.device_get(self._ckpt_payload()))
         if blocking:
+            payload = jax.tree.map(
+                np.asarray, jax.device_get(self._ckpt_payload())
+            )
             self._write_checkpoint(payload, steps)
             return
+        snap = jax.tree.map(
+            lambda a: a.copy() if isinstance(a, jax.Array) else a,
+            self._ckpt_payload(),
+        )
         import threading
 
         def _write():
             try:
+                payload = jax.tree.map(np.asarray, jax.device_get(snap))
                 self._write_checkpoint(payload, steps)
             except BaseException as e:  # surfaced by join_pending_save
                 self._save_error = e
@@ -229,9 +234,7 @@ class ModelBundle:
         return self._jit("rselfcorr", rselfcorr)(fea1)
 
     def corrm(self, fea, fea0):
-        from ppst_tpu.ops.corr import corrm
-
-        return self._jit("corrm", corrm)(fea, fea0)
+        return self._jit("corrm", self.model.corrm)(fea, fea0)
 
     def encode2(self, image, corrmatrix, corr_out_hw=None):
         def fn(p, x, c):
