@@ -117,17 +117,28 @@ def main():
     dt = time.perf_counter() - t0
 
     pairs_per_sec = BATCH * ITERS / dt
-    # secondary metrics first (training img/s, measured by
-    # tools/bench_train.py and recorded in BASELINE.md) — the driver
-    # parses the LAST JSON line as the headline
-    if os.environ.get("PPST_BENCH_TRAIN", "0") == "1":
-        from tools.bench_train import measure_training  # pragma: no cover
+    # secondary metric first (training img/s) — the driver parses the
+    # LAST JSON line as the headline. Unconditional (VERDICT r2 weak #6);
+    # PPST_BENCH_TRAIN=0 opts out, and any failure is reported without
+    # poisoning the headline.
+    if os.environ.get("PPST_BENCH_TRAIN", "1") == "1":
+        try:
+            from tools.bench_train import measure_training
 
-        img_s = measure_training(crop=CROP)
-        print(json.dumps({
-            "metric": f"training_images_per_sec_per_chip_{CROP}px",
-            "value": round(img_s, 3), "unit": "img/s",
-        }))
+            img_s = measure_training(
+                crop=CROP,
+                iters=int(os.environ.get("PPST_BENCH_TRAIN_ITERS", "3")),
+                dtype=os.environ.get("PPST_BENCH_TRAIN_DTYPE", "bfloat16"),
+            )
+            print(json.dumps({
+                "metric": f"training_images_per_sec_per_chip_{CROP}px_bf16",
+                "value": round(img_s, 3), "unit": "img/s",
+            }))
+        except Exception as e:  # pragma: no cover
+            print(json.dumps({
+                "metric": f"training_images_per_sec_per_chip_{CROP}px_bf16",
+                "value": None, "unit": "img/s", "error": str(e)[:200],
+            }))
     print(
         json.dumps(
             {

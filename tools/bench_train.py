@@ -28,16 +28,17 @@ def sync(tree):
     np.asarray(jax.tree.leaves(tree)[0].ravel()[0])
 
 
-def measure_training(crop: int = 512, batch: int = 2, iters: int = 5) -> float:
+def measure_training(crop: int = 512, batch: int = 2, iters: int = 5,
+                     dtype: str = "float32") -> float:
     """Steady-state training images/sec (one D + one G step consume two
     batches, reference train loop semantics). Importable by bench.py's
-    optional PPST_BENCH_TRAIN=1 secondary metric."""
+    secondary training metric."""
     from ppst_tpu.models.config import PPSTConfig
     from ppst_tpu.models.ppst import PPSTModel
     from ppst_tpu.train.steps import build_train_steps
     from ppst_tpu.util.fast_init import random_params_like
 
-    cfg = PPSTConfig(crop_size=crop)
+    cfg = PPSTConfig(crop_size=crop, dtype=dtype)
     model = PPSTModel(cfg)
     params, state = random_params_like(
         lambda: model.init(jax.random.PRNGKey(0), crop), seed=0
