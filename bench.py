@@ -37,7 +37,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 REFERENCE_PAIRS_PER_SEC = 6.0
 CROP = int(os.environ.get("PPST_BENCH_CROP", "512"))
-BATCH = int(os.environ.get("PPST_BENCH_BATCH", "4"))
+BATCH = int(os.environ.get("PPST_BENCH_BATCH", "8"))
 ITERS = int(os.environ.get("PPST_BENCH_ITERS", "20"))
 SMOOTH = os.environ.get("PPST_BENCH_SMOOTH", "1") == "1"
 DTYPE = jnp.bfloat16 if os.environ.get(
@@ -62,18 +62,19 @@ def build_pipeline():
     params = jax.device_put(full[0])
 
     @jax.jit
-    def encode_content(params, img, rng):
-        sp = model.apply_e1(params, img)
-        vec = model.apply_e2(params, img).vectors
+    def encode_both(params, content, style, rng):
+        # One batched extraction over [content; style]: identical math to
+        # per-image extract_feat_from_image (reference ppst_model.py:311-315),
+        # but v5e conv MFU is strongly batch-sensitive (B=16 runs ~2x the
+        # per-image rate of B=4 — BASELINE.md round-3 table), so the two
+        # extractions share one conv pass.
+        b = content.shape[0]
+        imgs = jnp.concatenate([content, style], axis=0)
+        sp = model.apply_e1(params, imgs)
+        vec = model.apply_e2(params, imgs).vectors
         _, fea, fea1 = model.apply_g(params, sp, vec, rng, extract_features=True)
-        return sp, jnp.concatenate([fea, rselfcorr(fea1)], axis=-1)
-
-    @jax.jit
-    def encode_style(params, img, rng):
-        sp = model.apply_e1(params, img)
-        vec = model.apply_e2(params, img).vectors
-        _, fea, fea1 = model.apply_g(params, sp, vec, rng, extract_features=True)
-        return jnp.concatenate([fea, rselfcorr(fea1)], axis=-1)
+        desc = jnp.concatenate([fea, rselfcorr(fea1)], axis=-1)
+        return sp[:b], desc[:b], desc[b:]
 
     @jax.jit
     def correspond_and_warp(params, style_img, desc_s, desc_c):
@@ -87,9 +88,8 @@ def build_pipeline():
         )
 
     def stylize(params, content, style, rng):
-        r_c, r_s, r_d = jax.random.split(rng, 3)
-        sp, desc_c = encode_content(params, content, r_c)
-        desc_s = encode_style(params, style, r_s)
+        r_e, r_d = jax.random.split(rng)
+        sp, desc_c, desc_s = encode_both(params, content, style, r_e)
         gl_w = correspond_and_warp(params, style, desc_s, desc_c)
         return decode(params, sp, list(gl_w), r_d, content)
 
