@@ -118,6 +118,47 @@ class PPSTModel:
         return corrm(fea, fea0, split=self.cfg.g_fuse_ch)
 
     @staticmethod
+    def shard_concat(parts, n_dev: int = 1):
+        """Concatenate along batch WITHIN each device's local shard.
+
+        A plain global concat of 'data'-sharded operands would reorder
+        rows across shard boundaries (GSPMD inserts resharding
+        collectives); reshaping to (n_dev, per, ...) and concatenating on
+        the local axis keeps every row on its device. With n_dev=1 this
+        is jnp.concatenate. Used to batch the multiple same-shape G/D
+        forwards of a training step into single conv passes (v5e conv
+        MFU is strongly batch-sensitive — BASELINE.md round-3 table).
+        """
+        if n_dev <= 1:
+            return jnp.concatenate(parts, axis=0)
+        locs = []
+        for p in parts:
+            b = p.shape[0]
+            locs.append(p.reshape((n_dev, b // n_dev) + p.shape[1:]))
+        cat = jnp.concatenate(locs, axis=1)
+        return cat.reshape((cat.shape[0] * cat.shape[1],) + cat.shape[2:])
+
+    @staticmethod
+    def shard_split(x, sizes, n_dev: int = 1):
+        """Inverse of shard_concat: split the batched result back into
+        parts of global batch ``sizes``."""
+        if n_dev <= 1:
+            outs, off = [], 0
+            for s in sizes:
+                outs.append(x[off : off + s])
+                off += s
+            return outs
+        total = sum(sizes) // n_dev
+        y = x.reshape((n_dev, total) + x.shape[1:])
+        outs, off = [], 0
+        for s in sizes:
+            per = s // n_dev
+            part = y[:, off : off + per]
+            outs.append(part.reshape((s,) + x.shape[1:]))
+            off += per
+        return outs
+
+    @staticmethod
     def half_batch(x, n_dev: int = 1):
         """First half of each device's LOCAL batch (reference
         ppst_model.py:129-132 ``[:B//2]``, which runs per-GPU under DDP).
@@ -157,7 +198,7 @@ class PPSTModel:
 
         sp = e1(params, real)
         gl = e2_plain(params, real)
-        mix = None
+        gl_w = None
         if cfg.training_stage == 2:
             _, feas, feas1 = g_ext(params, sp, gl, r_ext)
             sps = jnp.concatenate([feas, rselfcorr(feas1)], axis=-1)
@@ -165,7 +206,6 @@ class PPSTModel:
             corr_self = self.corrm(sps, sps)
             if cfg.lambda_StyleCon > 0.0:
                 gl_w = e2_w(params, real, corr_sw)
-                mix = g_fwd(params, self.swap(sp), gl_w, r_mix)
             # reconstruction styles are the *self-corr-warped* vectors
             gl = e2_w(params, real, corr_self)
 
@@ -178,22 +218,39 @@ class PPSTModel:
             "(even per-shard batch)"
         )
         gl_half = [self.half_batch(g, n_dev) for g in gl]
-        rec = g_fwd(params, self.half_batch(sp, n_dev), gl_half, r_rec)
+        # one shard-local-batched G pass for mix (B) + rec (B/2): same
+        # math as separate calls (all per-sample ops), better conv MFU
+        mix = None
+        if gl_w is not None:
+            g_out = g_fwd(
+                params,
+                self.shard_concat([self.swap(sp), self.half_batch(sp, n_dev)],
+                                  n_dev),
+                [self.shard_concat([w, h], n_dev)
+                 for w, h in zip(gl_w, gl_half)],
+                r_mix,
+            )
+            mix, rec = self.shard_split(g_out, [b, b // 2], n_dev)
+        else:
+            rec = g_fwd(params, self.half_batch(sp, n_dev), gl_half, r_rec)
 
         losses = {}
         if cfg.lambda_GAN > 0.0:
-            # generator-side outputs are constants for the D update
-            rec = jax.lax.stop_gradient(rec)
-            losses["D_real"] = (
-                gan_loss(d_fwd(params, real), True) * cfg.lambda_GAN
-            )
-            losses["D_rec"] = (
-                gan_loss(d_fwd(params, rec), False) * 0.5 * cfg.lambda_GAN
-            )
+            # generator-side outputs are constants for the D update;
+            # score real/rec/mix in ONE batched D pass
+            parts = [real, jax.lax.stop_gradient(rec)]
             if cfg.training_stage == 2 and mix is not None:
-                mix = jax.lax.stop_gradient(mix)
+                parts.append(jax.lax.stop_gradient(mix))
+            scores = self.shard_split(
+                d_fwd(params, self.shard_concat(parts, n_dev)),
+                [p.shape[0] for p in parts],
+                n_dev,
+            )
+            losses["D_real"] = gan_loss(scores[0], True) * cfg.lambda_GAN
+            losses["D_rec"] = gan_loss(scores[1], False) * 0.5 * cfg.lambda_GAN
+            if len(scores) > 2:
                 losses["D_mix"] = (
-                    gan_loss(d_fwd(params, mix), False) * 0.5 * cfg.lambda_GAN
+                    gan_loss(scores[2], False) * 0.5 * cfg.lambda_GAN
                 )
         return losses, state
 
@@ -269,15 +326,34 @@ class PPSTModel:
                     l1_loss(mask_warp, self.swap(mask)) * cfg.lambda_Maskwarp
                 )
 
-        rec = g_fwd(params, sp, gl, r_rec)
+        mix = None
+        if cfg.training_stage == 2 and cfg.lambda_StyleCon > 0.0:
+            # one shard-local-batched G pass for rec (B) + mix (B), and
+            # one batched E2 mask-projection pass over both outputs —
+            # identical per-sample math, one conv pass each
+            g_out = g_fwd(
+                params,
+                self.shard_concat([sp, self.swap(sp)], n_dev),
+                [self.shard_concat([a, w], n_dev) for a, w in zip(gl, gl_w)],
+                r_rec,
+            )
+            rec, mix = self.shard_split(g_out, [b, b], n_dev)
+        else:
+            rec = g_fwd(params, sp, gl, r_rec)
         if cfg.lambda_L1 > 0.0:
             losses["G_L1"] = l1_loss(rec, real) * cfg.lambda_L1
 
-        mix = None
         if cfg.training_stage == 2 and cfg.lambda_StyleCon > 0.0:
-            mix = g_fwd(params, self.swap(sp), gl_w, r_mix)
-            pro_3m = e2_mask(params, mix, self.swap(mask))
-            pro_2m = e2_mask(params, rec, mask)
+            pro_batched = e2_mask(
+                params,
+                self.shard_concat([mix, rec], n_dev),
+                self.shard_concat([self.swap(mask), mask], n_dev),
+            )
+            pro_3m, pro_2m = [], []
+            for p in pro_batched:
+                m_part, r_part = self.shard_split(p, [b, b], n_dev)
+                pro_3m.append(m_part)
+                pro_2m.append(r_part)
             sp_3 = e1(params, mix)
             gl_half = [self.half_batch(g, n_dev) for g in gl]
             cyc = g_fwd(
@@ -315,12 +391,17 @@ class PPSTModel:
             losses["G_styleContrec"] = styleloss2 * cfg.lambda_StyleCon
 
         if cfg.lambda_GAN > 0.0:
-            losses["G_GAN_rec"] = (
-                gan_loss(d_fwd(params, rec), True) * cfg.lambda_GAN * 0.5
-            )
             if cfg.training_stage == 2 and mix is not None:
-                losses["G_GAN_mix"] = (
-                    gan_loss(d_fwd(params, mix), True) * cfg.lambda_GAN
+                s_rec, s_mix = self.shard_split(
+                    d_fwd(params, self.shard_concat([rec, mix], n_dev)),
+                    [b, b],
+                    n_dev,
+                )
+                losses["G_GAN_rec"] = gan_loss(s_rec, True) * cfg.lambda_GAN * 0.5
+                losses["G_GAN_mix"] = gan_loss(s_mix, True) * cfg.lambda_GAN
+            else:
+                losses["G_GAN_rec"] = (
+                    gan_loss(d_fwd(params, rec), True) * cfg.lambda_GAN * 0.5
                 )
         return losses, metrics, state
 
@@ -397,8 +478,20 @@ class PPSTModel:
             desc = jnp.concatenate([fea, rselfcorr(fea1)], axis=-1)
             return sp, vec, desc
 
-        sp_c, vec_c, desc_c = image_desc(content, r_c)
-        _, _, desc_s = image_desc(style, r_s)
+        if content.shape == style.shape:
+            # one batched extraction pass over [content; style] — identical
+            # math, but v5e conv MFU is strongly batch-sensitive at 512px
+            # (BASELINE.md round-3 table), so sharing the conv pass nearly
+            # halves extraction time at small batches
+            b = content.shape[0]
+            sp_b, vec_b, desc_b = image_desc(
+                jnp.concatenate([content, style], axis=0), r_c
+            )
+            sp_c, vec_c = sp_b[:b], [v[:b] for v in vec_b]
+            desc_c, desc_s = desc_b[:b], desc_b[b:]
+        else:
+            sp_c, vec_c, desc_c = image_desc(content, r_c)
+            _, _, desc_s = image_desc(style, r_s)
         corr = self.corrm(desc_s, desc_c)
         gl_w = self.e2.apply(
             {"params": params["E2"]},
@@ -428,8 +521,15 @@ class PPSTModel:
             desc = jnp.concatenate([fea, rselfcorr(fea1)], axis=-1)
             return sp, desc
 
-        sp_c, desc_c = image_desc(content, r_c)
-        _, desc_s = image_desc(style, r_s)
+        if content.shape == style.shape:
+            b = content.shape[0]
+            sp_b, desc_b = image_desc(
+                jnp.concatenate([content, style], axis=0), r_c
+            )
+            sp_c, desc_c, desc_s = sp_b[:b], desc_b[:b], desc_b[b:]
+        else:
+            sp_c, desc_c = image_desc(content, r_c)
+            _, desc_s = image_desc(style, r_s)
         b, gh, gw, c = desc_c.shape
         q = _normalize_desc(desc_c.reshape(b, gh * gw, c))
         k = _normalize_desc(desc_s.reshape(b, -1, c))

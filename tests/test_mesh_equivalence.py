@@ -38,6 +38,10 @@ from ppst_tpu.models.ppst import PPSTModel
 from ppst_tpu.parallel.mesh import make_mesh, replicated_sharding, shard_batch
 from ppst_tpu.train.steps import build_train_steps
 
+# full train-step/network compiles: minutes on a 1-core CPU host.
+# Tier: run via `pytest -m slow` (or the targeted nohup recipe in PARITY.md).
+pytestmark = pytest.mark.slow
+
 CROP = 64
 N_DEV = 4
 B = 8  # global batch; per-shard batch 2 keeps swap() pairing even

@@ -20,6 +20,10 @@ import torch
 import jax
 import jax.numpy as jnp
 
+# full train-step/network compiles: minutes on a 1-core CPU host.
+# Tier: run via `pytest -m slow` (or the targeted nohup recipe in PARITY.md).
+pytestmark = pytest.mark.slow
+
 REF = "/root/reference"
 CROP = 128
 

@@ -11,6 +11,10 @@ from ppst_tpu.models.config import PPSTConfig
 from ppst_tpu.models.ppst import PPSTModel
 from ppst_tpu.train.steps import build_train_steps
 
+# full train-step/network compiles: minutes on a 1-core CPU host.
+# Tier: run via `pytest -m slow` (or the targeted nohup recipe in PARITY.md).
+pytestmark = pytest.mark.slow
+
 CROP = 64
 B = 2
 

@@ -12,11 +12,15 @@ Usage: python tools/bench_hotspots.py [--crop 512] [--batch 4]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ppst_tpu.util.cache import setup_compile_cache
 

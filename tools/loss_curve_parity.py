@@ -14,6 +14,9 @@ Config deviations (documented, both sides identical):
   CPU torch is infeasible; stage 1 exercises the GAN dynamics axis
   (D_real/D_rec/D_R1/G_L1/G_GAN) that VERDICT asked to validate.
 * lambda_Cycwarp=0: reference LPIPS needs undownloadable weights.
+* lambda_StyleCon=0: in stage 1 the reference's StyleCon branch reads an
+  undefined ``gl_w`` (ppst_model.py:194 sits outside the stage-2 guard)
+  and crashes — zeroed on both sides.
 * netG_use_noise=False: noise-injection RNG streams cannot match across
   frameworks; the learned noise gain starts at 0 so the init-time loss
   surface is identical with or without it.
@@ -62,6 +65,9 @@ def run_reference(steps: int, data_seed: int):
     opt.crop_size = CROP
     opt.training_stage = 1
     opt.lambda_Cycwarp = 0.0
+    # stage 1 + StyleCon>0 hits the reference's undefined-gl_w bug
+    # (ppst_model.py:194 runs outside the stage-2 guard); zero on BOTH sides
+    opt.lambda_StyleCon = 0.0
     opt.netG_use_noise = False
     ref = ppst_model.PPSTModel(opt)
     ref.initialize()
@@ -142,7 +148,7 @@ def run_mine(steps: int, data_seed: int, init_sd):
     setup_compile_cache(jax)
     cfg = PPSTConfig(
         crop_size=CROP, training_stage=1, lambda_Cycwarp=0.0,
-        netG_use_noise=False,
+        lambda_StyleCon=0.0, netG_use_noise=False,
     )
     model = PPSTModel(cfg)
     params = convert_reference_state_dict(init_sd, CROP)

@@ -43,6 +43,20 @@ def import_reference_model(crop: int):
     fake_util.is_custom_kernel_supported = lambda: False
     fake_util.str2bool = lambda v: v if isinstance(v, bool) else str(v).lower() in ("true", "1")
 
+    def _find_class_in_module(target_cls_name, module):
+        # reference util/util.py:61-71 (case-insensitive, underscores
+        # stripped); the reference network registry calls this
+        target = target_cls_name.replace("_", "").lower()
+        clslib = importlib.import_module(module)
+        cls = None
+        for name, clsobj in clslib.__dict__.items():
+            if name.lower() == target:
+                cls = clsobj
+        assert cls is not None, f"no class {target} in {module}"
+        return cls
+
+    fake_util.find_class_in_module = _find_class_in_module
+
     def _normalize(v):
         if isinstance(v, list):
             return [_normalize(x) for x in v]
@@ -111,6 +125,7 @@ def import_reference_model(crop: int):
 
     opt = argparse.Namespace(
         isTrain=True,  # skips checkpoint load
+        local_rank=0,
         continue_train=False,
         num_gpus=0,
         use_antialias=True,
@@ -211,7 +226,10 @@ def run_reference_pair(model, content, style):
         desc_c = torch.cat([fea_c, rs_c], 1)
         desc_s = torch.cat([fea_s, rs_s], 1)
         corr = model.corrm(desc_s, desc_c)
-        _, gl_w = model.encode2(texture, [corr])
+        # the reference evaluator wraps corr in a list only so DDP's
+        # input scatter unwraps it (simple_swapping_evaluator.py:53);
+        # calling the method directly takes the bare tensor
+        _, gl_w = model.encode2(texture, corr)
         out = model.decode(sp, gl_w, target=None)
     return np.moveaxis(out[0].numpy(), 0, -1)
 

@@ -17,10 +17,14 @@ Usage: python tools/probe_monolith.py [--crop 512] [--mode barriers]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ppst_tpu.util.cache import setup_compile_cache
 
