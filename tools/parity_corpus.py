@@ -254,10 +254,14 @@ def main():
     ap.add_argument("--out", default="results/parity")
     args = ap.parse_args()
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # default to CPU for the jax side: the machine env pins
+    # JAX_PLATFORMS=axon (so setdefault would keep the TPU), but the TPU
+    # is single-client and this tool must be able to run alongside
+    # on-chip jobs; override with PPST_PARITY_PLATFORM=axon to use it
+    platform = os.environ.get("PPST_PARITY_PLATFORM", "cpu")
     import jax
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update("jax_platforms", platform)
 
     print("building reference model (torch CPU)...", flush=True)
     ref_model = import_reference_model(args.crop)
