@@ -139,6 +139,12 @@ def run_mine(steps: int, data_seed: int, init_sd):
     import jax
     import jax.numpy as jnp
 
+    # the chip is single-client and the relay can be held by another
+    # job; PPST_PARITY_PLATFORM=cpu forces the jax side onto the host
+    platform = os.environ.get("PPST_PARITY_PLATFORM", "")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
     from ppst_tpu.models.config import PPSTConfig
     from ppst_tpu.models.ppst import PPSTModel
     from ppst_tpu.train.steps import build_train_steps
@@ -200,11 +206,30 @@ def main():
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
-    ref_rows, init_sd = run_reference(args.steps, args.seed)
-    my_rows = run_mine(args.steps, args.seed, init_sd)
+    # checkpoint the torch side immediately: it costs ~1 min/step on this
+    # 1-core host and must survive a jax-side failure. A cached
+    # reference.json + reference_init.npz with matching step count is
+    # reused instead of re-running torch.
+    ref_json = os.path.join(args.out, "reference.json")
+    init_npz = os.path.join(args.out, "reference_init.npz")
+    ref_rows = init_sd = None
+    if os.path.exists(ref_json) and os.path.exists(init_npz):
+        cached = json.load(open(ref_json))
+        if len(cached) == args.steps:
+            print("reusing cached reference run", flush=True)
+            ref_rows = cached
+            loaded = np.load(init_npz)
+            import torch
 
-    with open(os.path.join(args.out, "reference.json"), "w") as f:
-        json.dump(ref_rows, f)
+            init_sd = {k: torch.from_numpy(loaded[k]) for k in loaded.files}
+    if ref_rows is None:
+        ref_rows, init_sd = run_reference(args.steps, args.seed)
+        with open(ref_json, "w") as f:
+            json.dump(ref_rows, f)
+        np.savez(init_npz, **{k: v.detach().cpu().numpy()
+                              for k, v in init_sd.items()})
+
+    my_rows = run_mine(args.steps, args.seed, init_sd)
     with open(os.path.join(args.out, "ppst_tpu.json"), "w") as f:
         json.dump(my_rows, f)
 
