@@ -300,8 +300,8 @@ def main():
         my_out = run_ours_pair(mine, params, c, s)
         a = np.clip(ref_out, -1, 1)
         b = np.clip(my_out, -1, 1)
-        m_ssim = float(ssim(a[None], b[None], value_range=2.0))
-        m_psnr = float(psnr(a[None], b[None], value_range=2.0))
+        m_ssim = float(np.asarray(ssim(a[None], b[None], value_range=2.0)).mean())
+        m_psnr = float(np.asarray(psnr(a[None], b[None], value_range=2.0)).mean())
         rows.append({"pair": i, "ssim": round(m_ssim, 5), "psnr_db": round(m_psnr, 2)})
         save_image(tensor2im(ref_out[None])[0], f"{args.out}/pair{i}_reference.png")
         save_image(tensor2im(my_out[None])[0], f"{args.out}/pair{i}_ppst_tpu.png")
