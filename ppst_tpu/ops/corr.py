@@ -139,10 +139,20 @@ def adaptive_avg_pool(x, out_hw):
 
 
 def resize_bilinear(x, out_hw):
-    """Bilinear resize (half-pixel centers, matching torch
-    ``F.interpolate(mode='bilinear', align_corners=False)``)."""
+    """Bilinear resize at half-pixel centers, matching torch
+    ``F.interpolate(mode='bilinear', align_corners=False)`` — including
+    its NON-antialiased downscaling (``jax.image.resize`` defaults to
+    antialias=True, which widens the kernel on downscale and diverges
+    from torch). An exact 2x downscale under these semantics equals 2x2
+    mean pooling and takes that bandwidth-only path instead of resize's
+    dense-matmul lowering."""
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, out_hw[0], out_hw[1], c), method="linear")
+    oh, ow = out_hw
+    if h == 2 * oh and w == 2 * ow:
+        return adaptive_avg_pool(x, out_hw)
+    return jax.image.resize(
+        x, (b, oh, ow, c), method="linear", antialias=False
+    )
 
 
 def warp_resize(fea, corr, out_hw=None):

@@ -113,3 +113,21 @@ def test_warp_resize_matches_torch(rng):
     warped = warped.view(1, 4, grid, grid)
     want = TF.interpolate(warped, scale_factor=4, mode="bilinear")
     np.testing.assert_allclose(np.asarray(got), nhwc(want), rtol=1e-3, atol=1e-4)
+
+
+def test_resize_bilinear_matches_torch_up_and_down(rng):
+    """resize_bilinear must track F.interpolate(mode='bilinear',
+    align_corners=False) in BOTH directions — torch does NOT antialias
+    on downscale (reference generator.py:274-277 downsizes the last
+    feature tap this way), and the exact-2x case equals 2x2 mean."""
+    from ppst_tpu.ops.corr import resize_bilinear
+
+    x = rng.standard_normal((2, 32, 32, 5)).astype(np.float32)
+    for out in [(64, 64), (16, 16), (8, 8), (48, 48), (20, 12)]:
+        got = resize_bilinear(jnp.asarray(x), out)
+        want = TF.interpolate(nchw(x), size=out, mode="bilinear",
+                              align_corners=False)
+        np.testing.assert_allclose(
+            np.asarray(got), nhwc(want), rtol=1e-4, atol=1e-5,
+            err_msg=f"out={out}",
+        )

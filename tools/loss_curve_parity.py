@@ -157,11 +157,30 @@ def run_mine(steps: int, data_seed: int, init_sd):
         lambda_StyleCon=0.0, netG_use_noise=False,
     )
     model = PPSTModel(cfg)
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps stacks
+    print("[tpu] converting weights...", flush=True)
     params = convert_reference_state_dict(init_sd, CROP)
-    _, state = model.init(jax.random.PRNGKey(0), CROP)
+    print("[tpu] weights converted", flush=True)
+    # build the non-param state directly: the full model.init runs the
+    # four networks eagerly (minutes of per-op dispatch through the axon
+    # relay), and stage 1 never reads the RSCL queues anyway
+    from ppst_tpu.models.losses import init_rscl_state
+
+    state = {
+        "rscl": init_rscl_state(
+            jax.random.PRNGKey(0), code_dim=cfg.style_dim
+        ),
+        "num_d_iters": jnp.zeros((), jnp.int32),
+    }
     init_opt, d_step, d_step_r1, g_step = build_train_steps(model, donate=False)
+    print("[tpu] uploading params...", flush=True)
+    params, state = jax.device_put((params, state))
+    print("[tpu] init_opt...", flush=True)
     opt_states = init_opt(params)
-    params, state, opt_states = jax.device_put((params, state, opt_states))
+    print("[tpu] compiling first step...", flush=True)
 
     rng = np.random.default_rng(data_seed)
     rows = []
