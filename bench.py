@@ -67,19 +67,32 @@ def build_pipeline():
         # per-image extract_feat_from_image (reference ppst_model.py:311-315),
         # but v5e conv MFU is strongly batch-sensitive (B=16 runs ~2x the
         # per-image rate of B=4 — BASELINE.md round-3 table), so the two
-        # extractions share one conv pass.
+        # extractions share one conv pass. The style half's E2 trunk
+        # features are carried to the warp stage instead of recomputed
+        # there (identical values — the reference recomputes the trunk
+        # inside encode2).
         b = content.shape[0]
         imgs = jnp.concatenate([content, style], axis=0)
         sp = model.apply_e1(params, imgs)
-        vec = model.apply_e2(params, imgs).vectors
-        _, fea, fea1 = model.apply_g(params, sp, vec, rng, extract_features=True)
+        vec, trunk = model.e2.apply(
+            {"params": params["E2"]}, imgs, return_trunk=True
+        )
+        _, fea, fea1 = model.apply_g(
+            params, sp, vec.vectors, rng, extract_features=True
+        )
         desc = jnp.concatenate([fea, rselfcorr(fea1)], axis=-1)
-        return sp[:b], desc[:b], desc[b:]
+        return sp[:b], desc[:b], desc[b:], tuple(t[b:] for t in trunk)
 
     @jax.jit
-    def correspond_and_warp(params, style_img, desc_s, desc_c):
+    def correspond_and_warp(params, trunk_s, desc_s, desc_c):
         corr = corrm(desc_s, desc_c)
-        return model.apply_e2(params, style_img, corrmatrix=corr).vectors_w
+        return model.e2.apply(
+            {"params": params["E2"]},
+            None,
+            corrmatrix=corr,
+            trunk=trunk_s,
+            warped_only=True,
+        ).vectors_w
 
     @jax.jit
     def decode(params, sp, gl_w, rng, content):
@@ -89,8 +102,8 @@ def build_pipeline():
 
     def stylize(params, content, style, rng):
         r_e, r_d = jax.random.split(rng)
-        sp, desc_c, desc_s = encode_both(params, content, style, r_e)
-        gl_w = correspond_and_warp(params, style, desc_s, desc_c)
+        sp, desc_c, desc_s, trunk_s = encode_both(params, content, style, r_e)
+        gl_w = correspond_and_warp(params, trunk_s, desc_s, desc_c)
         return decode(params, sp, list(gl_w), r_d, content)
 
     return params, stylize

@@ -143,11 +143,23 @@ class ColorEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, corrmatrix=None, mask=None, corr_out_hw=None,
-                 corr_qk=None):
+                 corr_qk=None, trunk=None, return_trunk=False,
+                 warped_only=False):
         """``corrmatrix``: dense (B, Lq, Lk) correspondence. ``corr_qk``:
         alternative ((B, Lq, C), (B, Lk, C)) pre-normalized descriptor pair
         routed through the blockwise fused kernel (high-resolution path;
-        mutually exclusive with corrmatrix)."""
+        mutually exclusive with corrmatrix).
+
+        ``trunk``/``return_trunk``: the conv trunk (FromRGB + downsampling
+        ResBlocks) is the expensive part of this encoder; a staged
+        inference pipeline that already ran E2 on the style image (the
+        extraction stage of ``PPSTModel.stylize``) can pass
+        ``return_trunk=True`` there and feed the per-scale features back
+        via ``trunk`` in the warp stage instead of recomputing them —
+        identical values, conv cost paid once (the reference recomputes
+        the full trunk inside ``encode2``, ppst_model.py:275-281).
+        ``warped_only`` skips the unwarped/masked projection heads (the
+        warp stage of ``stylize`` consumes only ``vectors_w``)."""
         cfg = self.cfg
         n_down = cfg.netE2_num_downsampling_gl1
         assert corrmatrix is None or corr_qk is None
@@ -157,7 +169,8 @@ class ColorEncoder(nn.Module):
         swapped_mask = batch_swap(mask) if mask is not None else None
 
         def collect(head, feat, feat_w, cur_mask, cur_swapped):
-            vectors.append(head(feat))
+            if not warped_only:
+                vectors.append(head(feat))
             if feat_w is not None:
                 vectors_w.append(head(feat_w))
             if cur_mask is not None:
@@ -169,7 +182,10 @@ class ColorEncoder(nn.Module):
         # fast_pool only applies when the warped features are purely pooled
         fast_pool = cfg.e2_fast_warp_pool and mask is None
 
-        y = ConvLayer(cfg.nc_e2(0), 1, name="from_rgb")(x)
+        y = trunk[0] if trunk is not None else ConvLayer(
+            cfg.nc_e2(0), 1, name="from_rgb"
+        )(x)
+        trunk_out = [y]
         head = _ProjectionHead(cfg.nc_e2(0), cfg.style_dim, name="head_in")
         yw = None
         if corrmatrix is not None:
@@ -181,12 +197,13 @@ class ColorEncoder(nn.Module):
         collect(head, y, yw, mask, swapped_mask)
 
         for layer_id in range(n_down):
-            y = ResBlock(
+            y = trunk[layer_id + 1] if trunk is not None else ResBlock(
                 cfg.nc_e2(layer_id + 1),
                 blur_kernel=cfg.e_blur_kernel,
                 reflection_pad=True,
                 name=f"down{2 ** layer_id}",
             )(y)
+            trunk_out.append(y)
             head = _ProjectionHead(
                 cfg.nc_e2(layer_id + 1), cfg.style_dim, name=f"head{layer_id}"
             )
@@ -209,6 +226,7 @@ class ColorEncoder(nn.Module):
                 swapped_mask = nn.max_pool(swapped_mask, (2, 2), strides=(2, 2))
             collect(head, y, yw, mask, swapped_mask)
 
-        return E2Output(
+        out = E2Output(
             tuple(vectors), tuple(vectors_w), tuple(proj_m), tuple(proj_mw)
         )
+        return (out, tuple(trunk_out)) if return_trunk else out

@@ -473,10 +473,14 @@ class PPSTModel:
 
         def image_desc(img, r):
             sp = self.apply_e1(params, img)
-            vec = self.apply_e2(params, img).vectors
-            _, fea, fea1 = self.apply_g(params, sp, vec, r, extract_features=True)
+            vec, trunk = self.e2.apply(
+                {"params": params["E2"]}, img, return_trunk=True
+            )
+            _, fea, fea1 = self.apply_g(
+                params, sp, vec.vectors, r, extract_features=True
+            )
             desc = jnp.concatenate([fea, rselfcorr(fea1)], axis=-1)
-            return sp, vec, desc
+            return sp, vec.vectors, desc, trunk
 
         if content.shape == style.shape:
             # one batched extraction pass over [content; style] — identical
@@ -484,20 +488,26 @@ class PPSTModel:
             # (BASELINE.md round-3 table), so sharing the conv pass nearly
             # halves extraction time at small batches
             b = content.shape[0]
-            sp_b, vec_b, desc_b = image_desc(
+            sp_b, vec_b, desc_b, trunk_b = image_desc(
                 jnp.concatenate([content, style], axis=0), r_c
             )
             sp_c, vec_c = sp_b[:b], [v[:b] for v in vec_b]
             desc_c, desc_s = desc_b[:b], desc_b[b:]
+            trunk_s = tuple(t[b:] for t in trunk_b)
         else:
-            sp_c, vec_c, desc_c = image_desc(content, r_c)
-            _, _, desc_s = image_desc(style, r_s)
+            sp_c, vec_c, desc_c, _ = image_desc(content, r_c)
+            _, _, desc_s, trunk_s = image_desc(style, r_s)
         corr = self.corrm(desc_s, desc_c)
+        # the warp stage reuses the extraction pass's E2 trunk features
+        # (identical values; the reference recomputes the trunk inside
+        # encode2) and computes only the warped projections it needs
         gl_w = self.e2.apply(
             {"params": params["E2"]},
-            style,
+            None,
             corrmatrix=corr,
             corr_out_hw=(desc_c.shape[1], desc_c.shape[2]),
+            trunk=trunk_s,
+            warped_only=True,
         ).vectors_w
         if alpha != 1.0:
             gl_w = [a * (1 - alpha) + b * alpha for a, b in zip(vec_c, gl_w)]
@@ -516,28 +526,35 @@ class PPSTModel:
 
         def image_desc(img, r):
             sp = self.apply_e1(params, img)
-            vec = self.apply_e2(params, img).vectors
-            _, fea, fea1 = self.apply_g(params, sp, vec, r, extract_features=True)
+            vec, trunk = self.e2.apply(
+                {"params": params["E2"]}, img, return_trunk=True
+            )
+            _, fea, fea1 = self.apply_g(
+                params, sp, vec.vectors, r, extract_features=True
+            )
             desc = jnp.concatenate([fea, rselfcorr(fea1)], axis=-1)
-            return sp, desc
+            return sp, desc, trunk
 
         if content.shape == style.shape:
             b = content.shape[0]
-            sp_b, desc_b = image_desc(
+            sp_b, desc_b, trunk_b = image_desc(
                 jnp.concatenate([content, style], axis=0), r_c
             )
             sp_c, desc_c, desc_s = sp_b[:b], desc_b[:b], desc_b[b:]
+            trunk_s = tuple(t[b:] for t in trunk_b)
         else:
-            sp_c, desc_c = image_desc(content, r_c)
-            _, desc_s = image_desc(style, r_s)
+            sp_c, desc_c, _ = image_desc(content, r_c)
+            _, desc_s, trunk_s = image_desc(style, r_s)
         b, gh, gw, c = desc_c.shape
         q = _normalize_desc(desc_c.reshape(b, gh * gw, c))
         k = _normalize_desc(desc_s.reshape(b, -1, c))
         gl_w = self.e2.apply(
             {"params": params["E2"]},
-            style,
+            None,
             corr_qk=(q, k),
             corr_out_hw=(gh, gw),
+            trunk=trunk_s,
+            warped_only=True,
         ).vectors_w
         return self.decode(
             params, sp_c, gl_w, r_dec, target=content if smooth_target else None

@@ -74,6 +74,30 @@ def test_e2_full_paths(nets, rng):
         assert v.shape == (B, CFG.global_code_ch)
 
 
+def test_e2_trunk_cache_exact(nets, rng):
+    """The staged-inference trunk cache (extraction stage returns the conv
+    trunk; the warp stage feeds it back) must reproduce the direct
+    corrmatrix path exactly — it is the same computation, paid once."""
+    e2, params = nets["e2"]
+    x = jnp.asarray(rng.standard_normal((B, S, S, 3)).astype(np.float32))
+    corr = jax.nn.softmax(
+        jnp.asarray(rng.standard_normal((B, L, L)).astype(np.float32)), -1
+    )
+    direct = e2.apply(params, x, corrmatrix=corr)
+    plain, trunk = e2.apply(params, x, return_trunk=True)
+    assert len(trunk) == 4
+    cached = e2.apply(
+        params, None, corrmatrix=corr, trunk=trunk, warped_only=True
+    )
+    assert cached.vectors == ()  # warped_only skips the plain heads
+    for a, b in zip(plain.vectors, direct.vectors):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(cached.vectors_w, direct.vectors_w):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-6, atol=2e-6
+        )
+
+
 def test_generator_rgb_and_features(nets, rng):
     g, params = nets["g"]
     sp = jnp.asarray(

@@ -145,7 +145,10 @@ def main():
     gen = Generator(cfg)
     sp = jax.random.normal(rng, (B, 64, 64, 256), dt)
     gls = [jax.random.normal(jax.random.PRNGKey(i), (B, 2048), dt) for i in range(4)]
-    params = gen.init(jax.random.PRNGKey(2), sp, gls, extract_features=True)
+    params = gen.init(
+        {"params": jax.random.PRNGKey(2), "noise": jax.random.PRNGKey(3)},
+        sp, gls, extract_features=True,
+    )
     params = jax.tree.map(lambda a: a.astype(dt) if a.ndim >= 2 else a, params)
 
     def run(extract):
@@ -155,6 +158,7 @@ def main():
                 out = gen.apply(
                     p, sp + (acc * 1e-30).astype(sp.dtype), gls,
                     extract_features=extract,
+                    rngs={"noise": jax.random.PRNGKey(3)},
                 )
                 leaf = out[1] if extract else out
                 acc = jnp.mean(leaf.astype(jnp.float32))
