@@ -54,7 +54,11 @@ def build_pipeline():
     from ppst_tpu.ops.corr import corrm, rselfcorr
     from ppst_tpu.util.fast_init import random_params_like
 
-    cfg = PPSTConfig(crop_size=CROP, e2_fast_warp_pool=FAST_POOL)
+    cfg = PPSTConfig(
+        crop_size=CROP,
+        e2_fast_warp_pool=FAST_POOL,
+        fused_tap=(DTYPE == jnp.bfloat16),
+    )
     model = PPSTModel(cfg)
     full = random_params_like(
         lambda: model.init(jax.random.PRNGKey(0), CROP), seed=0

@@ -77,6 +77,13 @@ class PPSTConfig:
     # GAP carry slightly different weights, GMP of the interpolant is
     # bounded by the grid max). Off by default for reference parity.
     e2_fast_warp_pool: bool = False
+    # Route the generator's 1x1 feature tap through the fused Pallas
+    # IN-chain kernel (ops.tap_pallas) in bfloat16 compute mode. Exactly
+    # the same parameters and math modulo bf16 rounding, ~2x faster on
+    # the tap (it is HBM-bound under XLA's reduction barriers).
+    # INFERENCE-ONLY: the kernel defines no VJP — leave False for
+    # training graphs.
+    fused_tap: bool = False
 
     @property
     def style_dim(self) -> int:

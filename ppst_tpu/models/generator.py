@@ -123,21 +123,67 @@ class _ResidualBlock(nn.Module):
         return prelu(y + x)
 
 
+class _Conv1x1Params(nn.Module):
+    """Parameter-only twin of a 1x1 ``TorchConv2d`` (same names, shapes,
+    and initializers, so the param tree and init values are identical to
+    the composite path) for kernels that consume the raw weights."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        from ppst_tpu.nn.layers import torch_bias_uniform_init, torch_kaiming_uniform_init
+
+        w = self.param(
+            "weight", torch_kaiming_uniform_init,
+            (1, 1, in_ch, self.features), jnp.float32,
+        )
+        b = self.param(
+            "bias", torch_bias_uniform_init(in_ch), (self.features,), jnp.float32
+        )
+        return w[0, 0], b
+
+
+class _PReLUParam(nn.Module):
+    """Parameter-only twin of ``PReLU``."""
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "alpha", nn.initializers.constant(0.25), (1,), jnp.float32
+        )[0]
+
+
 class _FeatureTap(nn.Module):
     """Per-resolution feature tap (reference generator.py:174-224:
     layer32/64/128 = padded 3x3 stack, layer256 = 1x1 stack). The leading
     instance norm runs on the *padded* input, matching the reference's
     Sequential ordering. Channel widths derive from ``feature_ch``
     (reference ``feature_channel=256`` -> 128/64, identical at the
-    default; slimmed configs scale the whole branch)."""
+    default; slimmed configs scale the whole branch).
+
+    ``fused``: route the 1x1 tap through the fused Pallas IN-chain kernel
+    (ops.tap_pallas) in bfloat16 compute mode — the XLA composite is
+    bandwidth-bound on the generator's largest activation. Same
+    parameters, same math modulo bf16 rounding; inference-only (the
+    kernel defines no VJP), gated by PPSTConfig.fused_tap."""
 
     conv1x1: bool = False
     feature_ch: int = 256
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
         mid, out = self.feature_ch // 2, self.feature_ch // 4
         if self.conv1x1:
+            if self.fused and x.dtype == jnp.bfloat16:
+                from ppst_tpu.ops.tap_pallas import fused_tap_1x1
+
+                w1, b1 = _Conv1x1Params(out, name="conv1")(x.shape[-1])
+                a1 = _PReLUParam(name="prelu1")()
+                w2, b2 = _Conv1x1Params(out, name="conv2")(out)
+                a2 = _PReLUParam(name="prelu2")()
+                return fused_tap_1x1(x, w1, b1, a1, w2, b2, a2)
             y = instance_norm(x)
             y = TorchConv2d(out, 1, name="conv1")(y)
             y = instance_norm(y)
@@ -208,6 +254,7 @@ class Generator(nn.Module):
                     _FeatureTap(
                         conv1x1=(j == n_up - 1),
                         feature_ch=fc,
+                        fused=cfg.fused_tap,
                         name=f"tap{2 ** (6 + j)}",
                     )(jax.lax.stop_gradient(x))
                 )

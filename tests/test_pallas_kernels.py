@@ -37,3 +37,31 @@ def test_fused_act_pallas_matches_xla(rng):
     got = fused_leaky_relu_pallas(x, b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6,
                                atol=1e-6)
+
+
+def test_fused_tap_matches_composite(rng):
+    """ops.tap_pallas.fused_tap_1x1 vs the XLA composite tap (bf16): same
+    parameters, same math modulo bf16 rounding through three INs."""
+    import jax
+    from ppst_tpu.models.config import PPSTConfig
+    from ppst_tpu.models.generator import _FeatureTap
+
+    x32 = rng.standard_normal((2, 32, 32, 128)).astype(np.float32)
+    x = jnp.asarray(x32).astype(jnp.bfloat16)
+    ref_tap = _FeatureTap(conv1x1=True, feature_ch=256, fused=False)
+    fused_tap = _FeatureTap(conv1x1=True, feature_ch=256, fused=True)
+    params = ref_tap.init(jax.random.PRNGKey(0), x.astype(jnp.float32))
+    # identical param trees (fused path declares the same names/shapes)
+    fused_params = fused_tap.init(jax.random.PRNGKey(0), x)
+    ref_leaves = jax.tree_util.tree_structure(params)
+    fused_leaves = jax.tree_util.tree_structure(fused_params)
+    assert ref_leaves == fused_leaves
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(fused_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    want = np.asarray(ref_tap.apply(params, x)).astype(np.float32)
+    got = np.asarray(fused_tap.apply(params, x)).astype(np.float32)
+    assert got.shape == want.shape
+    # bf16 resolution ~0.8%; three chained instance norms amplify it
+    np.testing.assert_allclose(got, want, atol=0.06)
+    assert np.abs(got - want).mean() < 5e-3
