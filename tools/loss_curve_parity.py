@@ -144,6 +144,13 @@ def run_mine(steps: int, data_seed: int, init_sd):
     platform = os.environ.get("PPST_PARITY_PLATFORM", "")
     if platform:
         jax.config.update("jax_platforms", platform)
+    # TPU f32 matmuls/convs default to one-pass bf16 (~1e-2 rel error —
+    # visibly shifts even step-0 losses vs the f32 torch reference);
+    # numerical-parity runs want the multi-pass f32-accurate mode
+    jax.config.update(
+        "jax_default_matmul_precision",
+        os.environ.get("PPST_PARITY_PRECISION", "highest"),
+    )
 
     from ppst_tpu.models.config import PPSTConfig
     from ppst_tpu.models.ppst import PPSTModel
