@@ -86,8 +86,11 @@ def corrm(fea, fea0, temperature: float = 0.01, split: int = 256):
     logits = jnp.einsum(
         "bic,bjc->bij", q, k, preferred_element_type=jnp.float32
     ) / temperature
-    # softmax in f32; downstream warps cast to their value dtype
-    return jax.nn.softmax(logits, axis=-1)
+    # softmax in f32; the result (entries in [0,1], rows sum to 1) is
+    # returned in the caller's compute dtype — in bf16 mode that halves
+    # the L x L matrix's HBM write and every downstream warp's read,
+    # while f32 mode (parity/oracle paths) is unchanged.
+    return jax.nn.softmax(logits, axis=-1).astype(in_dtype)
 
 
 def warp(fea, corr, out_hw=None):
