@@ -71,6 +71,23 @@ def test_corrm_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(got).sum(-1), 1.0, rtol=1e-5)
 
 
+def test_corrm_bf16_returns_compute_dtype_and_stays_stochastic(rng):
+    # bf16 compute mode returns the matrix in bf16 (halves the L x L HBM
+    # traffic); rows must still be a probability distribution up to bf16
+    # rounding, and close to the f32 result
+    a = rng.standard_normal((2, 8, 8, 512)).astype(np.float32)
+    b_ = rng.standard_normal((2, 8, 8, 512)).astype(np.float32)
+    got16 = corrm(jnp.asarray(a, jnp.bfloat16), jnp.asarray(b_, jnp.bfloat16))
+    assert got16.dtype == jnp.bfloat16
+    got32 = corrm(jnp.asarray(a), jnp.asarray(b_))
+    rows = np.asarray(got16, np.float32).sum(-1)
+    np.testing.assert_allclose(rows, 1.0, atol=0.02)
+    # bf16 logits shift the softmax peak location occasionally; compare
+    # the distributions in aggregate
+    diff = np.abs(np.asarray(got16, np.float32) - np.asarray(got32))
+    assert diff.mean() < 5e-3
+
+
 def test_warp_direct_matches_oracle(rng):
     fea = rng.standard_normal((2, 8, 8, 5)).astype(np.float32)
     corr = rng.random((2, 64, 64)).astype(np.float32)
