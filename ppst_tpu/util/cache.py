@@ -13,22 +13,45 @@ from __future__ import annotations
 import os
 
 
+def _cpu_fingerprint() -> str:
+    """Hash of everything that determines XLA:CPU codegen for this host.
+
+    Keying on cpuinfo *flags* alone is not enough: XLA picks LLVM target
+    features like ``+prefer-no-gather``/``+prefer-no-scatter`` from the
+    CPU *model* (e.g. on AVX-512 parts with slow gather), so two hosts
+    with identical flag sets can still produce mutually unloadable AOT
+    artifacts (observed via cpu_aot_loader errors on round hosts). Key
+    on model name + flags + jax version; a false split only costs a
+    recompile, a false merge crashes the thunk executor.
+    """
+    import hashlib
+
+    parts = []
+    try:
+        import jax as _jax
+
+        parts.append(_jax.__version__)
+    except Exception:
+        pass
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    parts.append(line.strip())
+                    if len(parts) >= 3:
+                        break
+    except OSError:
+        pass
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
 def setup_compile_cache(jax=None):
     if jax is None:
         import jax
     backend = jax.default_backend()
     key = backend
     if backend == "cpu":
-        import hashlib
-
-        try:
-            with open("/proc/cpuinfo") as f:
-                for line in f:
-                    if line.startswith("flags"):
-                        key += "_" + hashlib.md5(line.encode()).hexdigest()[:8]
-                        break
-        except OSError:
-            pass
+        key += "_" + _cpu_fingerprint()
     prefix = os.environ.get("PPST_JAX_CACHE_PREFIX", "/root/.cache/jax_ppst")
     jax.config.update(
         "jax_compilation_cache_dir",

@@ -29,7 +29,7 @@ def sync(tree):
 
 
 def measure_training(crop: int = 512, batch: int = 2, iters: int = 5,
-                     dtype: str = "float32") -> float:
+                     dtype: str = "float32", remat=None) -> float:
     """Steady-state training images/sec (one D + one G step consume two
     batches, reference train loop semantics). Importable by bench.py's
     secondary training metric."""
@@ -38,7 +38,8 @@ def measure_training(crop: int = 512, batch: int = 2, iters: int = 5,
     from ppst_tpu.train.steps import build_train_steps
     from ppst_tpu.util.fast_init import random_params_like
 
-    cfg = PPSTConfig(crop_size=crop, dtype=dtype)
+    kw = {} if remat is None else {"remat": remat}
+    cfg = PPSTConfig(crop_size=crop, dtype=dtype, **kw)
     model = PPSTModel(cfg)
     params, state = random_params_like(
         lambda: model.init(jax.random.PRNGKey(0), crop), seed=0
@@ -67,6 +68,10 @@ def main():
     ap.add_argument("--crop", type=int, default=512)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--remat", default=None, choices=["on", "off"],
+                    help="override cfg.remat for the G step")
     args = ap.parse_args()
 
     from ppst_tpu.models.config import PPSTConfig
@@ -74,7 +79,8 @@ def main():
     from ppst_tpu.train.steps import build_train_steps
     from ppst_tpu.util.fast_init import random_params_like
 
-    cfg = PPSTConfig(crop_size=args.crop)
+    kw = {} if args.remat is None else {"remat": args.remat == "on"}
+    cfg = PPSTConfig(crop_size=args.crop, dtype=args.dtype, **kw)
     model = PPSTModel(cfg)
     params, state = random_params_like(
         lambda: model.init(jax.random.PRNGKey(0), args.crop), seed=0
