@@ -3,9 +3,15 @@
 ``model.init`` traces and compiles the full four-network init graph —
 minutes of XLA work that pure benchmarking doesn't need. This builds the
 same pytree via ``jax.eval_shape`` (no compile) and fills it with seeded
-host-side Gaussian noise. NOT for training (init distributions matter
-there); bench numbers only measure compute cost, which is
-distribution-independent.
+host-side Gaussian noise. NOT for training or any loss/dynamics study
+(init distributions matter there): the StyleGAN2 layers are equalized-lr
+(N(0,1) kernels, runtime 1/sqrt(fan_in) scale), so the uniform 0.05-std
+fill attenuates their signal path ~20x per layer — measured to make the
+normalization-free discriminator a CONSTANT function of its input.
+Bench numbers only measure compute cost, which is
+distribution-independent; use ``model.init`` everywhere else
+(tests/test_networks.py::test_init_discriminator_is_input_sensitive
+guards the distinction).
 """
 
 from __future__ import annotations

@@ -125,6 +125,27 @@ def test_discriminator_logit(nets, rng):
     assert out.shape == (B, 1)
 
 
+def test_init_discriminator_is_input_sensitive(nets, rng):
+    """A properly initialized D must map different inputs to different
+    scores. Guards the fast_init pitfall: a uniform small-std param fill
+    breaks equalized-lr signal propagation (20x attenuation per wscale
+    layer in the normalization-free D) and silently turns D into a
+    constant function — which corrupted an early training-dynamics
+    ablation (util/fast_init.py docstring). Real init must never do this."""
+    d, params = nets["d"]
+    a = jnp.asarray(rng.standard_normal((1, S, S, 3)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((1, S, S, 3)).astype(np.float32))
+    sa, sb = float(d.apply(params, a)[0, 0]), float(d.apply(params, b)[0, 0])
+    assert abs(sa - sb) > 1e-6, (sa, sb)
+    # and the degenerate fill really is degenerate (documents the hazard)
+    from ppst_tpu.util.fast_init import random_params_like
+
+    bad = random_params_like(lambda: d.init(
+        {"params": jax.random.PRNGKey(0)}, a), seed=3)
+    ba, bb = float(d.apply(bad, a)[0, 0]), float(d.apply(bad, b)[0, 0])
+    assert abs(ba - bb) < 1e-7, "fast_init D unexpectedly input-sensitive"
+
+
 def test_param_counts_in_expected_range(nets):
     # Sanity guard against gross wiring mistakes; reference param counts
     # (base_network.py printout) put E2 around 25-30M (projector MLPs) and

@@ -35,13 +35,13 @@ def run(dtype: str, steps: int, crop: int, batch: int, seed: int):
     from ppst_tpu.models.config import PPSTConfig
     from ppst_tpu.models.ppst import PPSTModel
     from ppst_tpu.train.steps import build_train_steps
-    from ppst_tpu.util.fast_init import random_params_like
 
     cfg = PPSTConfig(crop_size=crop, dtype=dtype)
     model = PPSTModel(cfg)
-    params, state = random_params_like(
-        lambda: model.init(jax.random.PRNGKey(0), crop), seed=0
-    )
+    # REAL flax init — see tools/lpips_ablation.py: fast_init's uniform
+    # std breaks equalized-lr signal propagation and makes D a constant
+    # function, which would invalidate a dynamics comparison.
+    params, state = model.init(jax.random.PRNGKey(0), crop)
     init_opt, d_step, d_step_r1, g_step = build_train_steps(model, donate=False)
     opt_states = init_opt(params)
     params, state, opt_states = jax.device_put((params, state, opt_states))

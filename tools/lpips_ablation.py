@@ -41,15 +41,18 @@ def run(lambda_cycwarp: float, steps: int, crop: int, batch: int, seed: int):
     from ppst_tpu.models.config import PPSTConfig
     from ppst_tpu.models.ppst import PPSTModel
     from ppst_tpu.train.steps import build_train_steps
-    from ppst_tpu.util.fast_init import random_params_like
 
     cfg = PPSTConfig(
         crop_size=crop, lambda_Cycwarp=lambda_cycwarp, dtype="bfloat16"
     )
     model = PPSTModel(cfg)
-    params, state = random_params_like(
-        lambda: model.init(jax.random.PRNGKey(0), crop), seed=0
-    )
+    # REAL flax init (not util.fast_init): this tool studies training
+    # DYNAMICS, and the fast uniform-std fill breaks equalized-lr signal
+    # propagation — the StyleGAN2 D expects N(0,1) kernels with runtime
+    # 1/sqrt(fan_in) scaling, so a 0.05-std fill attenuates ~20x per
+    # layer and D degenerates to a constant (measured: identical score
+    # for every input). Init compiles once and hits the persistent cache.
+    params, state = model.init(jax.random.PRNGKey(0), crop)
     init_opt, d_step, d_step_r1, g_step = build_train_steps(model, donate=False)
     opt_states = init_opt(params)
     params, state, opt_states = jax.device_put((params, state, opt_states))
