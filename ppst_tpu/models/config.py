@@ -69,7 +69,19 @@ class PPSTConfig:
     # (jax.checkpoint): the G step's 4 generator + 4 E2 passes cannot all
     # keep their activations live in 16 GB HBM at 512px (SURVEY 5.7's
     # memory hot spot); remat trades ~30% recompute for fitting.
+    # remat=False measured RESOURCE_EXHAUSTED at 512px b2 even in bf16.
     remat: bool = True
+    # selective remat: which network applications inside the G-step loss
+    # get jax.checkpoint when remat=True. "all", or a comma list among
+    # {e1,e2,g,d,lpips} (e.g. "g,e2" remats only the generator and E2
+    # passes, keeping the cheap-to-store ones live). The big-activation
+    # G forwards dominate the memory hot spot; the others trade a small
+    # memory cost for skipping a full recompute in the backward pass.
+    # Default "g" is the measured winner at 512px b2 on a 16 GB v5e
+    # (bf16 g_step 561 ms vs 654 ms for "all" -> 5.34 vs 4.76 img/s;
+    # f32 fits at 798 ms); "all" is the safe fallback for bigger
+    # batches, remat=False OOMs even in bf16 (see BASELINE.md).
+    remat_nets: str = "g"
 
     # serving optimization: E2's warped features are only globally pooled
     # when no mask is given; True pools the warp grid directly instead of

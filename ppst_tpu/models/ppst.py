@@ -97,12 +97,18 @@ class PPSTModel:
     def apply_d(self, params, x):
         return self.d.apply({"params": params["D"]}, x)
 
-    def _r(self, fn):
+    def _r(self, fn, kind: str = ""):
         """Rematerialize a network application inside training losses
         (cfg.remat): recompute its activations in the backward pass
         instead of keeping them live — required to fit the G step's many
-        passes in HBM at 512px."""
-        return jax.checkpoint(fn) if self.cfg.remat else fn
+        passes in HBM at 512px. ``kind`` names the network for selective
+        remat via cfg.remat_nets ("all" or a comma list)."""
+        if not self.cfg.remat:
+            return fn
+        nets = self.cfg.remat_nets
+        if nets != "all" and kind and kind not in nets.split(","):
+            return fn
+        return jax.checkpoint(fn)
 
     # ------------------------------------------------------------------
     # correspondence pipeline (reference ppst_model.py:113-123, 166-171)
@@ -282,25 +288,30 @@ class PPSTModel:
             "(even per-shard batch)"
         )
 
-        e1 = self._r(lambda p, x: self.apply_e1(p, x))
-        e2_plain = self._r(lambda p, x: tuple(self.apply_e2(p, x).vectors))
+        e1 = self._r(lambda p, x: self.apply_e1(p, x), "e1")
+        e2_plain = self._r(
+            lambda p, x: tuple(self.apply_e2(p, x).vectors), "e2"
+        )
         e2_w = self._r(
-            lambda p, x, c: tuple(self.apply_e2(p, x, corrmatrix=c).vectors_w)
+            lambda p, x, c: tuple(self.apply_e2(p, x, corrmatrix=c).vectors_w),
+            "e2",
         )
         e2_full = self._r(
-            lambda p, x, c, m: self.apply_e2(p, x, corrmatrix=c, mask=m)
+            lambda p, x, c, m: self.apply_e2(p, x, corrmatrix=c, mask=m), "e2"
         )
         e2_mask = self._r(
-            lambda p, x, m: tuple(self.apply_e2(p, x, mask=m).projections_m)
+            lambda p, x, m: tuple(self.apply_e2(p, x, mask=m).projections_m),
+            "e2",
         )
-        g_fwd = self._r(lambda p, s, g, r: self.apply_g(p, s, list(g), r))
+        g_fwd = self._r(lambda p, s, g, r: self.apply_g(p, s, list(g), r), "g")
         g_ext = self._r(
             lambda p, s, g, r: self.apply_g(
                 p, s, list(g), r, extract_features=True
-            )
+            ),
+            "g",
         )
-        d_fwd = self._r(lambda p, x: self.apply_d(p, x))
-        lpips_fn = self._r(lambda v, a, b_: self.lpips.apply(v, a, b_))
+        d_fwd = self._r(lambda p, x: self.apply_d(p, x), "d")
+        lpips_fn = self._r(lambda v, a, b_: self.lpips.apply(v, a, b_), "lpips")
 
         sp = e1(params, real)
         gl = e2_plain(params, real)

@@ -39,6 +39,8 @@ def measure_training(crop: int = 512, batch: int = 2, iters: int = 5,
     from ppst_tpu.util.fast_init import random_params_like
 
     kw = {} if remat is None else {"remat": remat}
+    if isinstance(remat, str):
+        kw = {"remat": True, "remat_nets": remat}
     cfg = PPSTConfig(crop_size=crop, dtype=dtype, **kw)
     model = PPSTModel(cfg)
     params, state = random_params_like(
@@ -70,8 +72,9 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
-    ap.add_argument("--remat", default=None, choices=["on", "off"],
-                    help="override cfg.remat for the G step")
+    ap.add_argument("--remat", default=None,
+                    help="'on', 'off', or a remat_nets comma list "
+                         "(e.g. 'g' or 'g,e2') for selective remat")
     args = ap.parse_args()
 
     from ppst_tpu.models.config import PPSTConfig
@@ -79,7 +82,12 @@ def main():
     from ppst_tpu.train.steps import build_train_steps
     from ppst_tpu.util.fast_init import random_params_like
 
-    kw = {} if args.remat is None else {"remat": args.remat == "on"}
+    if args.remat is None:
+        kw = {}
+    elif args.remat in ("on", "off"):
+        kw = {"remat": args.remat == "on"}
+    else:
+        kw = {"remat": True, "remat_nets": args.remat}
     cfg = PPSTConfig(crop_size=args.crop, dtype=args.dtype, **kw)
     model = PPSTModel(cfg)
     params, state = random_params_like(
