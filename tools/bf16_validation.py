@@ -79,13 +79,46 @@ def run(dtype: str, steps: int, crop: int, batch: int, seed: int):
     return rows, img_s
 
 
+def plot(out_dir: str) -> None:
+    """Overlay the f32/bf16 loss trajectories from curves.json -> curves.png."""
+    with open(os.path.join(out_dir, "curves.json")) as f:
+        data = json.load(f)
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    keys = [k for k in sorted(data["summary"]) if not k.startswith("D_R1")]
+    cols = 3
+    rows = (len(keys) + cols - 1) // cols
+    fig, axes = plt.subplots(rows, cols, figsize=(4 * cols, 2.6 * rows))
+    for ax, k in zip(axes.ravel(), keys):
+        for rows_key, label, c in (("rows_f32", "f32", "#4477aa"),
+                                   ("rows_bf16", "bf16", "#ee6677")):
+            ys = [r[k] for r in data[rows_key] if k in r]
+            ax.plot(ys, label=label, color=c, lw=1)
+        ax.set_title(k, fontsize=9)
+        ax.legend(fontsize=7)
+    for ax in axes.ravel()[len(keys):]:
+        ax.axis("off")
+    fig.suptitle(f"f32 vs bf16 training, {data['crop']}px b{data['batch']}")
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "curves.png"), dpi=110)
+    print(f"wrote {out_dir}/curves.png")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=120)
     ap.add_argument("--crop", type=int, default=256)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--out", default="results/bf16_validation")
+    ap.add_argument("--plot-only", action="store_true",
+                    help="regenerate curves.png from an existing curves.json")
     args = ap.parse_args()
+    if args.plot_only:
+        plot(args.out)
+        return
 
     print("f32 run:")
     rows_32, imgs_32 = run("float32", args.steps, args.crop, args.batch, 21)
@@ -115,6 +148,10 @@ def main():
                    "summary": summary, "finite": {"f32": fin32, "bf16": fin16},
                    "rows_f32": rows_32, "rows_bf16": rows_16}, f, indent=1)
     print(f"wrote {args.out}/curves.json")
+    try:
+        plot(args.out)
+    except Exception as e:  # matplotlib optional
+        print(f"plot skipped: {e}")
 
 
 if __name__ == "__main__":
