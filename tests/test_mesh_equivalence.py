@@ -176,6 +176,37 @@ def test_mesh_matches_single_device_global_batch(runs):
                        "D params mesh vs 1-dev", outlier_frac=3e-3)
 
 
+def test_bf16_mesh_step(setup):
+    """bf16 compute over the live mesh (VERDICT r2 ask #3's mesh half):
+    one sharded D+R1 and G step in bfloat16 must execute with finite
+    losses, keep master params / opt state / RSCL queues in f32, and
+    agree with the single-device n_dev=N oracle at bf16 tolerances."""
+    model, params, state, real, mask, _ = setup
+    import dataclasses
+
+    cfg_bf16 = dataclasses.replace(model.cfg, dtype="bfloat16")
+    model_bf16 = PPSTModel(cfg_bf16)
+    sim = _run(model_bf16, params, state, real, mask, N_DEV, None)
+    mesh = _run(model_bf16, params, state, real, mask, N_DEV,
+                make_mesh(N_DEV))
+    p_m, s_m, d_m, g_m = mesh
+    for k, v in {**d_m, **g_m}.items():
+        assert np.isfinite(np.asarray(v, np.float64)).all(), (
+            f"{k} not finite under bf16 on the mesh"
+        )
+    for leaf in jax.tree.leaves(p_m):
+        assert leaf.dtype == np.float32, f"param dtype {leaf.dtype}"
+    assert s_m["rscl"]["queues"].dtype == np.float32
+    # mesh vs sim under bf16 compute: losses come out of bf16 conv
+    # stacks, so tolerances are ~bf16 epsilon rather than the f32 ones
+    p_s, s_s, d_s, g_s = sim
+    _assert_tree_close(d_s, d_m, 2e-2, 2e-3, "bf16 D losses mesh vs sim")
+    _assert_tree_close(g_s, g_m, 2e-2, 2e-3, "bf16 G losses mesh vs sim")
+    np.testing.assert_array_equal(
+        s_s["rscl"]["ptrs"], s_m["rscl"]["ptrs"], "bf16 queue ptrs"
+    )
+
+
 def test_queue_schedule_depends_on_world_size(runs):
     """Sanity: n_dev=1 and n_dev=4 enqueue different key sets (the
     reference's world-size-dependent gather, rscl.py:67-69): 6 keys per
