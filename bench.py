@@ -144,6 +144,11 @@ def main():
 
             img_s = measure_training(
                 crop=CROP,
+                # batch 4 is the measured 512px throughput knee on a
+                # 16 GB v5e (7.0 img/s vs 5.3 at the reference's
+                # canonical batch 2; batch 6 needs blanket+nested remat
+                # and drops to 5.4 — BASELINE.md batch-sweep table)
+                batch=int(os.environ.get("PPST_BENCH_TRAIN_BATCH", "4")),
                 iters=int(os.environ.get("PPST_BENCH_TRAIN_ITERS", "3")),
                 dtype=os.environ.get("PPST_BENCH_TRAIN_DTYPE", "bfloat16"),
             )

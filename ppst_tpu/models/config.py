@@ -82,6 +82,23 @@ class PPSTConfig:
     # f32 fits at 798 ms); "all" is the safe fallback for bigger
     # batches, remat=False OOMs even in bf16 (see BASELINE.md).
     remat_nets: str = "g"
+    # nested remat INSIDE the generator's feature branch: checkpoint each
+    # feature tap and fuse block individually so the extraction pass's
+    # backward never holds the whole branch's 512^2/256^2 intermediates
+    # at once (the OOM frontier at 512px batch>=6 is
+    # `tap256`/`fuse1_res` HLO temps inside the one big rematted g_ext
+    # block — remating the outer block alone cannot reduce that peak).
+    # Measured @512px: no win — remat_nets="all" alone already fits
+    # batch 6 (5.73 img/s; 5.43 with nesting on top; batch 4 with
+    # selective remat wins at 7.0) — kept as an HBM-headroom knob for
+    # beyond-512px training (BASELINE.md batch-sweep table).
+    remat_taps: bool = False
+    # nested remat of the generator's head/upsampling resblocks: the
+    # backward recomputes one resolution block at a time, holding only
+    # the inter-block boundary activations plus one block's interior
+    # (the 512px batch>=6 OOM after remat_taps sits in the rec+mix G
+    # forward's `up64` interiors). Pure memory/compute trade.
+    remat_blocks: bool = False
 
     # serving optimization: E2's warped features are only globally pooled
     # when no mask is given; True pools the warp grid directly instead of

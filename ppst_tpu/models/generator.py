@@ -227,31 +227,44 @@ class Generator(nn.Module):
                 return (None, None)
             return (next(noise_it), next(noise_it))
 
+        # cfg.remat_blocks: checkpoint each resblock separately (see
+        # config.py) — param names/values unchanged (lifted transform)
+        Head = (nn.remat(ResolutionPreservingResnetBlock)
+                if cfg.remat_blocks else ResolutionPreservingResnetBlock)
+        Up = (nn.remat(UpsamplingResnetBlock)
+              if cfg.remat_blocks else UpsamplingResnetBlock)
+
         x = GeneratorModulation(cfg.spatial_code_ch, name="sp_mod")(
             spatial_code, codes[-1]
         )
         for i in range(cfg.netG_num_base_resnet_layers):
             out_ch = (i + 1) / cfg.netG_num_base_resnet_layers * cfg.nf_g(0)
             out_ch = max(cfg.spatial_code_ch, round(out_ch))
-            x = ResolutionPreservingResnetBlock(out_ch, name=f"head{i}")(
-                x, codes[-1], take2()
-            )
+            x = Head(out_ch, name=f"head{i}")(x, codes[-1], take2())
 
         fc = cfg.netG_resnet_ch  # reference feature_channel (generator.py:226)
+        # cfg.remat_taps: checkpoint each tap/fuse block separately so the
+        # extraction backward recomputes them one at a time instead of
+        # keeping every 512^2/256^2 intermediate live (HBM-headroom knob
+        # for beyond-512px training — see the BASELINE.md batch-sweep
+        # table). Same params/names (nn.remat is a lifted transform);
+        # pure compute/memory trade.
+        Tap = nn.remat(_FeatureTap) if cfg.remat_taps else _FeatureTap
+        Fuse = nn.remat(_ResidualBlock) if cfg.remat_taps else _ResidualBlock
         feas = []
         if extract_features:
             feas.append(
-                _FeatureTap(feature_ch=fc, name="tap32")(jax.lax.stop_gradient(x))
+                Tap(feature_ch=fc, name="tap32")(jax.lax.stop_gradient(x))
             )
         h0, w0 = x.shape[1], x.shape[2]
 
         for j in range(n_up):
-            x = UpsamplingResnetBlock(
+            x = Up(
                 cfg.nf_g(j + 1), use_noise=cfg.netG_use_noise, name=f"up{2 ** (4 + j)}"
             )(x, codes[-2 - j], take2())
             if extract_features:
                 feas.append(
-                    _FeatureTap(
+                    Tap(
                         conv1x1=(j == n_up - 1),
                         feature_ch=fc,
                         fused=cfg.fused_tap,
@@ -276,8 +289,8 @@ class Generator(nn.Module):
         # reference's 3-downsample default
         fuse_ch = cfg.g_fuse_ch
         for i in range(3):
-            feat = _ResidualBlock(fuse_ch, name=f"fuse{i}")(feat)
-        feat1 = _ResidualBlock(fuse_ch, name="fuse1_res")(feat1)
+            feat = Fuse(fuse_ch, name=f"fuse{i}")(feat)
+        feat1 = Fuse(fuse_ch, name="fuse1_res")(feat1)
         feat1 = TorchConv2d(fc // 4, 1, name="fuse1_conv")(feat1)
         return rgb, feat, feat1
 

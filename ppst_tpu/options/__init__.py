@@ -64,6 +64,13 @@ class BaseOptions:
         parser.add_argument("--dtype", type=str, default="float32",
                             choices=("float32", "bfloat16"),
                             help="compute dtype for the conv stacks")
+        parser.add_argument("--remat_taps", type=str2bool, default=False,
+                            help="nested remat of the generator feature "
+                                 "branch (lower peak HBM; headroom for "
+                                 "beyond-512px training)")
+        parser.add_argument("--remat_blocks", type=str2bool, default=False,
+                            help="nested per-resblock remat inside the "
+                                 "generator (lower peak HBM)")
         # observability (SURVEY.md 5.1/5.2 TPU equivalents)
         parser.add_argument("--profile_dir", type=str, default=None,
                             help="write a jax.profiler trace of steps "

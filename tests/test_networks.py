@@ -179,3 +179,57 @@ def test_e2_fast_warp_pool_is_close(nets, rng):
     for u, v in zip(base, fast):
         cos = float(jnp.mean(jnp.sum(u * v, axis=-1)))
         assert cos > 0.99, cos
+
+
+def test_remat_taps_same_params_and_grads(rng):
+    """cfg.remat_taps + cfg.remat_blocks (nested checkpoints of the
+    feature branch / per-resolution resblocks — the 512px batch>=6 OOM
+    fixes) must not change the param tree, the forward values, or the
+    gradients; they are pure memory/compute trades."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        PPSTConfig(crop_size=64),
+        netG_scale_capacity=0.25,
+        global_code_ch=128,
+        spatial_code_ch=16,
+        netG_resnet_ch=32,
+        netG_num_base_resnet_layers=1,
+        netE_num_downsampling_sp=2,
+    )
+    sp = jnp.asarray(rng.standard_normal((2, 8, 8, cfg.spatial_code_ch)), jnp.float32)
+    gl = [jnp.asarray(rng.standard_normal((2, cfg.style_dim)), jnp.float32)] * 4
+    rngs = {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}
+
+    outs = {}
+    for taps in (False, True):
+        g = Generator(
+            dataclasses.replace(cfg, remat_taps=taps, remat_blocks=taps)
+        )
+        params = g.init(rngs, sp, gl, extract_features=True)
+
+        def loss(v):
+            rgb, feat, feat1 = g.apply(
+                v, sp, gl, extract_features=True,
+                rngs={"noise": jax.random.PRNGKey(2)},
+            )
+            return jnp.sum(feat**2) + jnp.sum(feat1**2) + jnp.sum(rgb**2)
+
+        val, grads = jax.value_and_grad(loss)(params)
+        outs[taps] = (params, val, grads)
+
+    p0, v0, g0 = outs[False]
+    p1, v1, g1 = outs[True]
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-4)
+    # norm-based: XLA reassociates instance-norm reductions differently
+    # inside/outside checkpoint, so near-zero gradient COMPONENTS are
+    # f32-cancellation noise; the per-leaf gradient vectors must agree.
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        # absolute floor: leaves with ~zero true gradient (e.g. a conv
+        # bias whose output feeds straight into instance norm — its
+        # gradient is mathematically zero) are pure f32 noise
+        assert np.linalg.norm(a - b) < 5e-3 * np.linalg.norm(a) + 5e-3, (
+            np.linalg.norm(a - b), np.linalg.norm(a)
+        )

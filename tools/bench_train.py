@@ -29,7 +29,9 @@ def sync(tree):
 
 
 def measure_training(crop: int = 512, batch: int = 2, iters: int = 5,
-                     dtype: str = "float32", remat=None) -> float:
+                     dtype: str = "float32", remat=None,
+                     remat_taps: bool = False,
+                     remat_blocks: bool = False) -> float:
     """Steady-state training images/sec (one D + one G step consume two
     batches, reference train loop semantics). Importable by bench.py's
     secondary training metric."""
@@ -41,7 +43,8 @@ def measure_training(crop: int = 512, batch: int = 2, iters: int = 5,
     kw = {} if remat is None else {"remat": remat}
     if isinstance(remat, str):
         kw = {"remat": True, "remat_nets": remat}
-    cfg = PPSTConfig(crop_size=crop, dtype=dtype, **kw)
+    cfg = PPSTConfig(crop_size=crop, dtype=dtype,
+                     remat_taps=remat_taps, remat_blocks=remat_blocks, **kw)
     model = PPSTModel(cfg)
     params, state = random_params_like(
         lambda: model.init(jax.random.PRNGKey(0), crop), seed=0
@@ -75,6 +78,11 @@ def main():
     ap.add_argument("--remat", default=None,
                     help="'on', 'off', or a remat_nets comma list "
                          "(e.g. 'g' or 'g,e2') for selective remat")
+    ap.add_argument("--remat_taps", action="store_true",
+                    help="nested remat of the generator feature branch "
+                         "(extra HBM headroom beyond --remat all)")
+    ap.add_argument("--remat_blocks", action="store_true",
+                    help="nested per-resblock remat inside the generator")
     args = ap.parse_args()
 
     from ppst_tpu.models.config import PPSTConfig
@@ -88,6 +96,10 @@ def main():
         kw = {"remat": args.remat == "on"}
     else:
         kw = {"remat": True, "remat_nets": args.remat}
+    if args.remat_taps:
+        kw["remat_taps"] = True
+    if args.remat_blocks:
+        kw["remat_blocks"] = True
     cfg = PPSTConfig(crop_size=args.crop, dtype=args.dtype, **kw)
     model = PPSTModel(cfg)
     params, state = random_params_like(
