@@ -134,32 +134,93 @@ def main():
     dt = time.perf_counter() - t0
 
     pairs_per_sec = BATCH * ITERS / dt
-    # secondary metric first (training img/s) — the driver parses the
+
+    # p50/p90 pair latency (north-star metric, BASELINE.json): batch-1
+    # staged pipeline, host sync per rep via scalar fetch. Secondary
+    # metric — emitted before the headline line.
+    if os.environ.get("PPST_BENCH_LATENCY", "1") == "1":
+        lat_content = content[:1]
+        lat_style = style[:1]
+        lats = []
+        out = stylize(params, lat_content, lat_style, jax.random.PRNGKey(97))
+        float(np.asarray(out[0, 0, 0, 0]))  # compile batch-1 graphs
+        for i in range(int(os.environ.get("PPST_BENCH_LATENCY_REPS", "50"))):
+            t0 = time.perf_counter()
+            out = stylize(
+                params, lat_content, lat_style, jax.random.PRNGKey(100 + i)
+            )
+            float(np.asarray(out[0, 0, 0, 0]))
+            lats.append((time.perf_counter() - t0) * 1000.0)
+        lats.sort()
+        p50 = lats[len(lats) // 2]
+        p90 = lats[int(len(lats) * 0.9)]
+        print(json.dumps({
+            "metric": f"pair_latency_p50_{CROP}px",
+            "value": round(p50, 2), "unit": "ms",
+            "p90_ms": round(p90, 2), "reps": len(lats), "batch": 1,
+        }))
+
+    # amortized grid-serving metric (BASELINE config #3: folder x folder
+    # content x style grid, per-style/content extraction amortized across
+    # the grid; the only axis whose roofline admits >=10x — BASELINE.md).
+    if os.environ.get("PPST_BENCH_GRID", "1") == "1":
+        try:
+            from tools.bench_grid import measure_grid
+
+            grid_contents = int(os.environ.get("PPST_BENCH_GRID_CONTENTS", "4"))
+            grid_styles = int(os.environ.get("PPST_BENCH_GRID_STYLES", "8"))
+            grid_pairs_s = measure_grid(
+                crop=CROP,
+                contents=grid_contents,
+                styles=grid_styles,
+                pair_batch=int(os.environ.get("PPST_BENCH_GRID_PAIR_BATCH", "8")),
+                iters=int(os.environ.get("PPST_BENCH_GRID_ITERS", "10")),
+                dtype="bfloat16" if DTYPE == jnp.bfloat16 else "float32",
+                smooth=SMOOTH,
+            )
+            print(json.dumps({
+                "metric": f"grid_pairs_per_sec_per_chip_{CROP}px",
+                "value": round(grid_pairs_s, 3),
+                "unit": "pairs/s",
+                "grid": f"{grid_contents}x{grid_styles}",
+                "vs_baseline": round(grid_pairs_s / REFERENCE_PAIRS_PER_SEC, 3),
+            }))
+        except Exception as e:  # pragma: no cover
+            print(json.dumps({
+                "metric": f"grid_pairs_per_sec_per_chip_{CROP}px",
+                "value": None, "unit": "pairs/s", "error": str(e)[:200],
+            }))
+
+    # secondary metric (training img/s) — the driver parses the
     # LAST JSON line as the headline. Unconditional (VERDICT r2 weak #6);
     # PPST_BENCH_TRAIN=0 opts out, and any failure is reported without
     # poisoning the headline.
     if os.environ.get("PPST_BENCH_TRAIN", "1") == "1":
+        # batch 4 is the measured 512px throughput knee on a 16 GB v5e
+        # (7.0 img/s vs 5.3 at the reference's canonical batch 2; batch 6
+        # needs blanket+nested remat and drops to 5.4 — BASELINE.md
+        # batch-sweep table). Reported in the JSON so longitudinal runs
+        # stay comparable across measurement-condition changes.
+        train_batch = int(os.environ.get("PPST_BENCH_TRAIN_BATCH", "4"))
         try:
             from tools.bench_train import measure_training
 
             img_s = measure_training(
                 crop=CROP,
-                # batch 4 is the measured 512px throughput knee on a
-                # 16 GB v5e (7.0 img/s vs 5.3 at the reference's
-                # canonical batch 2; batch 6 needs blanket+nested remat
-                # and drops to 5.4 — BASELINE.md batch-sweep table)
-                batch=int(os.environ.get("PPST_BENCH_TRAIN_BATCH", "4")),
+                batch=train_batch,
                 iters=int(os.environ.get("PPST_BENCH_TRAIN_ITERS", "3")),
                 dtype=os.environ.get("PPST_BENCH_TRAIN_DTYPE", "bfloat16"),
             )
             print(json.dumps({
                 "metric": f"training_images_per_sec_per_chip_{CROP}px_bf16",
                 "value": round(img_s, 3), "unit": "img/s",
+                "batch": train_batch,
             }))
         except Exception as e:  # pragma: no cover
             print(json.dumps({
                 "metric": f"training_images_per_sec_per_chip_{CROP}px_bf16",
-                "value": None, "unit": "img/s", "error": str(e)[:200],
+                "value": None, "unit": "img/s", "batch": train_batch,
+                "error": str(e)[:200],
             }))
     print(
         json.dumps(

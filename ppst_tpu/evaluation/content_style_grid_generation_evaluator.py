@@ -5,12 +5,23 @@ Dataset items whose path contains "/content/" are structure images; all
 others are styles. Every (content, style) pair runs the full
 correspondence pipeline, decoded with ``target=`` so the photorealistic
 guided filter applies — here fused into the decode XLA program instead of
-the reference's per-image CPU OpenCV round trip."""
+the reference's per-image CPU OpenCV round trip.
+
+Serving-mode batching: the reference already amortizes per-style feature
+extraction across contents (:53-73); this evaluator additionally batches
+the marginal per-pair work (corrm + style warp + decode) one content ROW
+at a time through ``ModelBundle.grid_pairs``, so the pair stage runs as
+full-width conv/matmul dispatches (~0.9 TFLOP/pair marginal vs ~3.6 for
+the unamortized pipeline — BASELINE.md round-4 grid roofline). When the
+preprocessed images do not share one shape the original per-pair loop is
+used instead.
+"""
 
 from __future__ import annotations
 
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,18 +61,66 @@ class ContentStyleGridGenerationEvaluator(BaseEvaluator):
 
         style_paths = list(style_images)
         structure_paths = list(structure_images)
-        style_descs = {}
-        for sp_name in style_paths:
-            fea, fea1 = model.extract_feat_from_image(style_images[sp_name])
-            style_descs[sp_name] = jnp.concatenate(
-                [fea, model.rselfcorr(fea1)], axis=-1
-            )
 
         blank = style_images[style_paths[0]] * 0.0 + 1.0
         self.add_to_webpage(
             [blank] + [style_images[p] for p in style_paths],
             ["blank.png"] + [p + ".png" for p in style_paths],
         )
+
+        shapes = {
+            im.shape
+            for im in (*structure_images.values(), *style_images.values())
+        }
+        if len(shapes) == 1:
+            self._evaluate_batched(
+                model, structure_images, style_images,
+                structure_paths, style_paths,
+            )
+        else:
+            self._evaluate_pairwise(
+                model, structure_images, style_images,
+                structure_paths, style_paths,
+            )
+        return {}
+
+    def _evaluate_batched(self, model, structure_images, style_images,
+                          structure_paths, style_paths):
+        """Amortized path: one batched extraction over all images, then
+        one batched pair dispatch per content row."""
+        n_c, n_s = len(structure_paths), len(style_paths)
+        contents = np.concatenate(
+            [structure_images[n] for n in structure_paths]
+        )
+        styles = np.concatenate([style_images[n] for n in style_paths])
+        bank = model.grid_extract(np.concatenate([contents, styles]))
+        c_bank = jax.tree.map(lambda a: a[:n_c], bank)
+        s_bank = jax.tree.map(lambda a: a[n_c:], bank)
+        contents_dev = jnp.asarray(contents)
+
+        for j, c_name in enumerate(structure_paths):
+            ci = np.full((n_s,), j, np.int32)
+            si = np.arange(n_s, dtype=np.int32)
+            outs = model.grid_pairs(
+                c_bank, s_bank, ci, si, smooth_target=contents_dev
+            )
+            self.add_to_webpage(
+                [structure_images[c_name]]
+                + [outs[k : k + 1] for k in range(n_s)],
+                [c_name + ".png"]
+                + [f"{c_name}_{s}.png" for s in style_paths],
+            )
+            self.webpage.save()
+
+    def _evaluate_pairwise(self, model, structure_images, style_images,
+                           structure_paths, style_paths):
+        """Original per-pair loop (mixed image shapes)."""
+        style_descs = {}
+        for sp_name in style_paths:
+            fea, fea1 = model.extract_feat_from_image(style_images[sp_name])
+            style_descs[sp_name] = jnp.concatenate(
+                [fea, model.rselfcorr(fea1)], axis=-1
+            )
 
         for c_name in structure_paths:
             structure_image = structure_images[c_name]
@@ -82,4 +141,3 @@ class ContentStyleGridGenerationEvaluator(BaseEvaluator):
                 [structure_image] + swaps, [c_name + ".png"] + filenames
             )
             self.webpage.save()
-        return {}

@@ -228,10 +228,12 @@ class Generator(nn.Module):
             return (next(noise_it), next(noise_it))
 
         # cfg.remat_blocks: checkpoint each resblock separately (see
-        # config.py) — param names/values unchanged (lifted transform)
-        Head = (nn.remat(ResolutionPreservingResnetBlock)
+        # config.py) — param names/values unchanged (lifted transform).
+        # prevent_cse=False: these blocks only run under jit (train steps),
+        # where CSE prevention is unnecessary and costs recompute.
+        Head = (nn.remat(ResolutionPreservingResnetBlock, prevent_cse=False)
                 if cfg.remat_blocks else ResolutionPreservingResnetBlock)
-        Up = (nn.remat(UpsamplingResnetBlock)
+        Up = (nn.remat(UpsamplingResnetBlock, prevent_cse=False)
               if cfg.remat_blocks else UpsamplingResnetBlock)
 
         x = GeneratorModulation(cfg.spatial_code_ch, name="sp_mod")(
@@ -249,8 +251,10 @@ class Generator(nn.Module):
         # for beyond-512px training — see the BASELINE.md batch-sweep
         # table). Same params/names (nn.remat is a lifted transform);
         # pure compute/memory trade.
-        Tap = nn.remat(_FeatureTap) if cfg.remat_taps else _FeatureTap
-        Fuse = nn.remat(_ResidualBlock) if cfg.remat_taps else _ResidualBlock
+        Tap = (nn.remat(_FeatureTap, prevent_cse=False)
+               if cfg.remat_taps else _FeatureTap)
+        Fuse = (nn.remat(_ResidualBlock, prevent_cse=False)
+                if cfg.remat_taps else _ResidualBlock)
         feas = []
         if extract_features:
             feas.append(

@@ -108,7 +108,9 @@ class PPSTModel:
         nets = self.cfg.remat_nets
         if nets != "all" and kind and kind not in nets.split(","):
             return fn
-        return jax.checkpoint(fn)
+        # prevent_cse=False: these only ever run inside jitted train steps,
+        # where CSE protection is unnecessary and blocks XLA fusion/dedup
+        return jax.checkpoint(fn, prevent_cse=False)
 
     # ------------------------------------------------------------------
     # correspondence pipeline (reference ppst_model.py:113-123, 166-171)
@@ -569,6 +571,68 @@ class PPSTModel:
         ).vectors_w
         return self.decode(
             params, sp_c, gl_w, r_dec, target=content if smooth_target else None
+        )
+
+    # ------------------------------------------------------------------
+    # amortized grid serving (reference
+    # evaluation/content_style_grid_generation_evaluator.py:53-99: the
+    # folder x folder grid precomputes per-style descriptors once and
+    # reuses them for every content — here additionally BATCHED so the
+    # marginal per-pair work (corrm + style warp + decode) runs as full
+    # conv/matmul dispatches instead of one pair at a time)
+    # ------------------------------------------------------------------
+
+    def grid_extract(self, params, images, rng, noises=None):
+        """Extraction stage of grid serving: one batched pass computing,
+        per image, everything any pair involving it will need — structure
+        code ``sp``, correspondence descriptor ``desc`` (feature branch +
+        Rselfcorr), and the E2 conv trunk (consumed by the style-side
+        warp; the reference recomputes it per pair inside ``encode2``).
+        Identical math to ``extract_feat_from_image`` + ``encode``."""
+        sp = self.apply_e1(params, images)
+        vec, trunk = self.e2.apply(
+            {"params": params["E2"]}, images, return_trunk=True
+        )
+        _, fea, fea1 = self.apply_g(
+            params, sp, vec.vectors, rng, extract_features=True, noises=noises
+        )
+        desc = jnp.concatenate([fea, rselfcorr(fea1)], axis=-1)
+        return {"sp": sp, "desc": desc, "trunk": trunk, "vectors": vec.vectors}
+
+    def grid_pairs(self, params, content_bank, style_bank, ci, si, rng,
+                   alpha: float = 1.0, smooth_target=None, noises=None):
+        """Pair stage of grid serving: stylize the batch of
+        (content ci[k], style si[k]) pairs, gathering inputs from the
+        precomputed banks (``grid_extract`` outputs). Per pair this runs
+        only corrm + E2 style warp + decode — the amortized marginal
+        pipeline (~0.9 TFLOP/pair vs ~3.6 for the full per-pair path).
+        ``smooth_target``: content images (N_c, H, W, 3) to enable the
+        in-graph guided filter, gathered per pair."""
+        take = lambda bank, idx: jax.tree.map(
+            lambda a: jnp.take(a, idx, axis=0), bank
+        )
+        desc_c = jnp.take(content_bank["desc"], ci, axis=0)
+        sp_c = jnp.take(content_bank["sp"], ci, axis=0)
+        desc_s = jnp.take(style_bank["desc"], si, axis=0)
+        trunk_s = take(style_bank["trunk"], si)
+        corr = self.corrm(desc_s, desc_c)
+        gl_w = self.e2.apply(
+            {"params": params["E2"]},
+            None,
+            corrmatrix=corr,
+            corr_out_hw=(desc_c.shape[1], desc_c.shape[2]),
+            trunk=trunk_s,
+            warped_only=True,
+        ).vectors_w
+        if alpha != 1.0:
+            vec_c = [jnp.take(v, ci, axis=0) for v in content_bank["vectors"]]
+            gl_w = [a * (1 - alpha) + b * alpha for a, b in zip(vec_c, gl_w)]
+        target = (
+            jnp.take(smooth_target, ci, axis=0)
+            if smooth_target is not None else None
+        )
+        return self.decode(
+            params, sp_c, list(gl_w), rng, target=target, noises=noises
         )
 
     def correspondence_from_images(self, params, img_c, img_s, rng):

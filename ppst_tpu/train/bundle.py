@@ -247,6 +247,39 @@ class ModelBundle:
             self.params, jnp.asarray(image), corrmatrix
         )
 
+    def grid_extract(self, images):
+        """Extraction stage of amortized grid serving (one batched pass
+        per image set; see PPSTModel.grid_extract)."""
+        fn = self._jit(
+            "grid_extract",
+            lambda p, x, r: self.model.grid_extract(p, x, r),
+        )
+        return fn(self.params, jnp.asarray(images), self.next_rng())
+
+    def grid_pairs(self, content_bank, style_bank, ci, si, smooth_target=None):
+        """Pair stage of amortized grid serving: stylize the batch of
+        (ci[k], si[k]) pairs from precomputed banks — per pair only
+        corrm + style warp + decode run (see PPSTModel.grid_pairs)."""
+        ci = jnp.asarray(ci, jnp.int32)
+        si = jnp.asarray(si, jnp.int32)
+        if smooth_target is None:
+            fn = self._jit(
+                "grid_pairs",
+                lambda p, cb, sb, i, j, r: self.model.grid_pairs(
+                    p, cb, sb, i, j, r
+                ),
+            )
+            return fn(self.params, content_bank, style_bank, ci, si,
+                      self.next_rng())
+        fn = self._jit(
+            "grid_pairs_smooth",
+            lambda p, cb, sb, i, j, r, t: self.model.grid_pairs(
+                p, cb, sb, i, j, r, smooth_target=t
+            ),
+        )
+        return fn(self.params, content_bank, style_bank, ci, si,
+                  self.next_rng(), jnp.asarray(smooth_target))
+
     def decode(self, sp, gl, target=None):
         if target is None:
             fn = self._jit(

@@ -179,8 +179,8 @@ def test_mesh_matches_single_device_global_batch(runs):
 def test_bf16_mesh_step(setup):
     """bf16 compute over the live mesh (VERDICT r2 ask #3's mesh half):
     one sharded D+R1 and G step in bfloat16 must execute with finite
-    losses, keep master params / opt state / RSCL queues in f32, and
-    agree with the single-device n_dev=N oracle at bf16 tolerances."""
+    losses, keep master params / RSCL queues in f32, and agree with the
+    single-device n_dev=N oracle at bf16 tolerances."""
     model, params, state, real, mask, _ = setup
     import dataclasses
 
@@ -190,10 +190,13 @@ def test_bf16_mesh_step(setup):
     mesh = _run(model_bf16, params, state, real, mask, N_DEV,
                 make_mesh(N_DEV))
     p_m, s_m, d_m, g_m = mesh
-    for k, v in {**d_m, **g_m}.items():
-        assert np.isfinite(np.asarray(v, np.float64)).all(), (
-            f"{k} not finite under bf16 on the mesh"
-        )
+    # check D and G loss dicts independently: a key present in both would
+    # be silently shadowed by a merged-dict iteration
+    for name, dct in (("D", d_m), ("G", g_m)):
+        for k, v in dct.items():
+            assert np.isfinite(np.asarray(v, np.float64)).all(), (
+                f"{name} loss {k} not finite under bf16 on the mesh"
+            )
     for leaf in jax.tree.leaves(p_m):
         assert leaf.dtype == np.float32, f"param dtype {leaf.dtype}"
     assert s_m["rscl"]["queues"].dtype == np.float32

@@ -31,10 +31,13 @@ def sync(tree):
 def measure_training(crop: int = 512, batch: int = 2, iters: int = 5,
                      dtype: str = "float32", remat=None,
                      remat_taps: bool = False,
-                     remat_blocks: bool = False) -> float:
+                     remat_blocks: bool = False,
+                     include_r1: bool = True) -> float:
     """Steady-state training images/sec (one D + one G step consume two
-    batches, reference train loop semantics). Importable by bench.py's
-    secondary training metric."""
+    batches, reference train loop semantics; the lazy-R1 D step replaces
+    every 16th plain D step, so its extra cost is amortized at
+    (t_r1 - t_d)/16 — rounds 1-3 omitted this, overstating img/s ~2%).
+    Importable by bench.py's secondary training metric."""
     from ppst_tpu.models.config import PPSTConfig
     from ppst_tpu.models.ppst import PPSTModel
     from ppst_tpu.train.steps import build_train_steps
@@ -55,8 +58,11 @@ def measure_training(crop: int = 512, batch: int = 2, iters: int = 5,
     real = jax.random.normal(jax.random.PRNGKey(1), (batch, crop, crop, 3)) * 0.3
     mask = jnp.zeros((batch, crop, crop, 3)).at[..., 0].set(1.0)
 
-    total = 0.0
-    for step in (d_step, g_step):
+    times = {}
+    steps = [("d", d_step), ("g", g_step)]
+    if include_r1:
+        steps.append(("r1", d_step_r1))
+    for name, step in steps:
         p, s, o, losses = step(params, state, opt_states, real, mask,
                                jax.random.PRNGKey(2))
         sync(losses)
@@ -64,7 +70,10 @@ def measure_training(crop: int = 512, batch: int = 2, iters: int = 5,
         for i in range(iters):
             p, s, o, losses = step(p, s, o, real, mask, jax.random.PRNGKey(3 + i))
         sync(losses)
-        total += (time.time() - t0) / iters
+        times[name] = (time.time() - t0) / iters
+    total = times["d"] + times["g"]
+    if include_r1:
+        total += (times["r1"] - times["d"]) / 16.0
     return batch * 2 / total
 
 
