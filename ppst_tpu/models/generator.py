@@ -229,11 +229,12 @@ class Generator(nn.Module):
 
         # cfg.remat_blocks: checkpoint each resblock separately (see
         # config.py) — param names/values unchanged (lifted transform).
-        # prevent_cse=False: these blocks only run under jit (train steps),
-        # where CSE prevention is unnecessary and costs recompute.
-        Head = (nn.remat(ResolutionPreservingResnetBlock, prevent_cse=False)
+        # prevent_cse stays True: False lets XLA CSE the recompute against
+        # the saved forward, undoing the remat (measured OOM at the outer
+        # jax.checkpoint level, round 4 — same hazard here).
+        Head = (nn.remat(ResolutionPreservingResnetBlock)
                 if cfg.remat_blocks else ResolutionPreservingResnetBlock)
-        Up = (nn.remat(UpsamplingResnetBlock, prevent_cse=False)
+        Up = (nn.remat(UpsamplingResnetBlock)
               if cfg.remat_blocks else UpsamplingResnetBlock)
 
         x = GeneratorModulation(cfg.spatial_code_ch, name="sp_mod")(
@@ -251,10 +252,8 @@ class Generator(nn.Module):
         # for beyond-512px training — see the BASELINE.md batch-sweep
         # table). Same params/names (nn.remat is a lifted transform);
         # pure compute/memory trade.
-        Tap = (nn.remat(_FeatureTap, prevent_cse=False)
-               if cfg.remat_taps else _FeatureTap)
-        Fuse = (nn.remat(_ResidualBlock, prevent_cse=False)
-                if cfg.remat_taps else _ResidualBlock)
+        Tap = nn.remat(_FeatureTap) if cfg.remat_taps else _FeatureTap
+        Fuse = nn.remat(_ResidualBlock) if cfg.remat_taps else _ResidualBlock
         feas = []
         if extract_features:
             feas.append(

@@ -101,16 +101,27 @@ class PPSTModel:
         """Rematerialize a network application inside training losses
         (cfg.remat): recompute its activations in the backward pass
         instead of keeping them live — required to fit the G step's many
-        passes in HBM at 512px. ``kind`` names the network for selective
-        remat via cfg.remat_nets ("all" or a comma list)."""
+        passes in HBM at 512px. ``kind`` names the network (and
+        optionally the call site, e.g. "g_ext") for selective remat via
+        cfg.remat_nets: "all", or a comma list matched by prefix — "g"
+        remats every g_* site, "g_mix" only the rec+mix pass."""
         if not self.cfg.remat:
             return fn
         nets = self.cfg.remat_nets
-        if nets != "all" and kind and kind not in nets.split(","):
+        if (
+            nets != "all"
+            and kind
+            and not any(kind == n or kind.startswith(n + "_")
+                        for n in nets.split(","))
+        ):
             return fn
-        # prevent_cse=False: these only ever run inside jitted train steps,
-        # where CSE protection is unnecessary and blocks XLA fusion/dedup
-        return jax.checkpoint(fn, prevent_cse=False)
+        # prevent_cse must stay True (the default): with False, XLA CSEs
+        # the backward-pass recompute against the saved forward values,
+        # which silently UNDOES the rematerialization — measured as a
+        # g_step RESOURCE_EXHAUSTED at 512px b4 bf16 (round 4; the
+        # round-3 advisory suggesting False is rejected on that evidence;
+        # False is only safe inside lax.scan per the jax docs).
+        return jax.checkpoint(fn)
 
     # ------------------------------------------------------------------
     # correspondence pipeline (reference ppst_model.py:113-123, 166-171)
@@ -124,6 +135,47 @@ class PPSTModel:
         generator feature branch (cfg.g_fuse_ch; 256 at the reference
         default — ppst_model.py:341-364 splits at 256)."""
         return corrm(fea, fea0, split=self.cfg.g_fuse_ch)
+
+    # -- blockwise-correspondence plumbing (cfg.corr_blockwise) ---------
+    # A "correspondence handle" is either the dense (B, L, L) matrix or a
+    # (q, k) descriptor pair; the helpers below dispatch so the loss code
+    # reads identically in both modes. The qk mode never materializes
+    # L x L — required for 1024px training (see ops.corr_blockwise).
+
+    def _training_corrs(self, sps):
+        """(corr_sw, corr_self) handles from the descriptor grid.
+        Dense: corrm(sps, swap(sps)) / corrm(sps, sps). Blockwise: with
+        n = normalized descriptors, corrm(sps, swap(sps)) has rows
+        q=swap(n) and columns k=n, so the handles are (swap(n), n) and
+        (n, n)."""
+        if not self.cfg.corr_blockwise:
+            return self.corrm(sps, self.swap(sps)), self.corrm(sps, sps)
+        from ppst_tpu.ops.corr_blockwise import normalize_desc
+
+        n = normalize_desc(sps, split=self.cfg.g_fuse_ch)
+        return (self.swap(n), n), (n, n)
+
+    def _swap_corr(self, corr):
+        """Batch-pair swap of a correspondence handle: swap(corr)[b] =
+        corr[pair(b)] = softmax(q[pair(b)] k[pair(b)]^T), i.e. both
+        descriptors batch-swapped in qk form."""
+        if isinstance(corr, tuple):
+            return (self.swap(corr[0]), self.swap(corr[1]))
+        return self.swap(corr)
+
+    def _warp_any(self, x, corr):
+        if isinstance(corr, tuple):
+            from ppst_tpu.ops.corr_blockwise import warp_qk
+
+            return warp_qk(x, corr[0], corr[1], block=self.cfg.corr_block)
+        return warp(x, corr)
+
+    def apply_e2_corr(self, params, x, corr, mask=None):
+        kw = (
+            {"corr_qk": corr} if isinstance(corr, tuple)
+            else {"corrmatrix": corr}
+        )
+        return self.e2.apply({"params": params["E2"]}, x, mask=mask, **kw)
 
     @staticmethod
     def shard_concat(parts, n_dev: int = 1):
@@ -192,17 +244,22 @@ class PPSTModel:
         state = dict(state, num_d_iters=state["num_d_iters"] + 1)
         r_ext, r_mix, r_rec = jax.random.split(rng, 3)
 
-        # No remat here: the D update only differentiates through D itself
-        # (the generator-side forwards carry no gradient), so checkpointing
-        # would cost compile time for zero memory benefit.
+        # No remat on the generator side: the D update only differentiates
+        # through D itself (those forwards carry no gradient), so
+        # checkpointing them costs compile time for zero memory benefit.
         e1 = lambda p, x: self.apply_e1(p, x)
         e2_plain = lambda p, x: tuple(self.apply_e2(p, x).vectors)
-        e2_w = lambda p, x, c: tuple(self.apply_e2(p, x, corrmatrix=c).vectors_w)
+        e2_w = lambda p, x, c: tuple(self.apply_e2_corr(p, x, c).vectors_w)
         g_fwd = lambda p, s, g, r: self.apply_g(p, s, list(g), r)
         g_ext = lambda p, s, g, r: self.apply_g(
             p, s, list(g), r, extract_features=True
         )
         d_fwd = lambda p, x: self.apply_d(p, x)
+        if cfg.unbatch_passes:
+            # big-image mode: D IS differentiated here — remat its
+            # forward so the backward recomputes instead of keeping the
+            # full-res activation pyramid live
+            d_fwd = self._r(d_fwd, "d")
 
         sp = e1(params, real)
         gl = e2_plain(params, real)
@@ -210,8 +267,7 @@ class PPSTModel:
         if cfg.training_stage == 2:
             _, feas, feas1 = g_ext(params, sp, gl, r_ext)
             sps = jnp.concatenate([feas, rselfcorr(feas1)], axis=-1)
-            corr_sw = self.corrm(sps, self.swap(sps))
-            corr_self = self.corrm(sps, sps)
+            corr_sw, corr_self = self._training_corrs(sps)
             if cfg.lambda_StyleCon > 0.0:
                 gl_w = e2_w(params, real, corr_sw)
             # reconstruction styles are the *self-corr-warped* vectors
@@ -227,33 +283,47 @@ class PPSTModel:
         )
         gl_half = [self.half_batch(g, n_dev) for g in gl]
         # one shard-local-batched G pass for mix (B) + rec (B/2): same
-        # math as separate calls (all per-sample ops), better conv MFU
+        # math as separate calls (all per-sample ops), better conv MFU.
+        # cfg.unbatch_passes splits them (and the D scoring) back into
+        # per-role passes: at 1024px the batched interiors set the HBM
+        # peak (measured: batched d_step 15.5 GiB temp vs a 16 GB chip).
         mix = None
         if gl_w is not None:
-            g_out = g_fwd(
-                params,
-                self.shard_concat([self.swap(sp), self.half_batch(sp, n_dev)],
-                                  n_dev),
-                [self.shard_concat([w, h], n_dev)
-                 for w, h in zip(gl_w, gl_half)],
-                r_mix,
-            )
-            mix, rec = self.shard_split(g_out, [b, b // 2], n_dev)
+            if cfg.unbatch_passes:
+                mix = g_fwd(params, self.swap(sp), gl_w, r_mix)
+                rec = g_fwd(
+                    params, self.half_batch(sp, n_dev), gl_half, r_rec
+                )
+            else:
+                g_out = g_fwd(
+                    params,
+                    self.shard_concat(
+                        [self.swap(sp), self.half_batch(sp, n_dev)], n_dev
+                    ),
+                    [self.shard_concat([w, h], n_dev)
+                     for w, h in zip(gl_w, gl_half)],
+                    r_mix,
+                )
+                mix, rec = self.shard_split(g_out, [b, b // 2], n_dev)
         else:
             rec = g_fwd(params, self.half_batch(sp, n_dev), gl_half, r_rec)
 
         losses = {}
         if cfg.lambda_GAN > 0.0:
             # generator-side outputs are constants for the D update;
-            # score real/rec/mix in ONE batched D pass
+            # score real/rec/mix in ONE batched D pass (or one pass per
+            # image set under unbatch_passes)
             parts = [real, jax.lax.stop_gradient(rec)]
             if cfg.training_stage == 2 and mix is not None:
                 parts.append(jax.lax.stop_gradient(mix))
-            scores = self.shard_split(
-                d_fwd(params, self.shard_concat(parts, n_dev)),
-                [p.shape[0] for p in parts],
-                n_dev,
-            )
+            if cfg.unbatch_passes:
+                scores = [d_fwd(params, p) for p in parts]
+            else:
+                scores = self.shard_split(
+                    d_fwd(params, self.shard_concat(parts, n_dev)),
+                    [p.shape[0] for p in parts],
+                    n_dev,
+                )
             losses["D_real"] = gan_loss(scores[0], True) * cfg.lambda_GAN
             losses["D_rec"] = gan_loss(scores[1], False) * 0.5 * cfg.lambda_GAN
             if len(scores) > 2:
@@ -295,22 +365,27 @@ class PPSTModel:
             lambda p, x: tuple(self.apply_e2(p, x).vectors), "e2"
         )
         e2_w = self._r(
-            lambda p, x, c: tuple(self.apply_e2(p, x, corrmatrix=c).vectors_w),
+            lambda p, x, c: tuple(self.apply_e2_corr(p, x, c).vectors_w),
             "e2",
         )
         e2_full = self._r(
-            lambda p, x, c, m: self.apply_e2(p, x, corrmatrix=c, mask=m), "e2"
+            lambda p, x, c, m: self.apply_e2_corr(p, x, c, mask=m), "e2"
         )
         e2_mask = self._r(
             lambda p, x, m: tuple(self.apply_e2(p, x, mask=m).projections_m),
             "e2",
         )
-        g_fwd = self._r(lambda p, s, g, r: self.apply_g(p, s, list(g), r), "g")
+        g_mix = self._r(
+            lambda p, s, g, r: self.apply_g(p, s, list(g), r), "g_mix"
+        )
+        g_cyc = self._r(
+            lambda p, s, g, r: self.apply_g(p, s, list(g), r), "g_cyc"
+        )
         g_ext = self._r(
             lambda p, s, g, r: self.apply_g(
                 p, s, list(g), r, extract_features=True
             ),
-            "g",
+            "g_ext",
         )
         d_fwd = self._r(lambda p, x: self.apply_d(p, x), "d")
         lpips_fn = self._r(lambda v, a, b_: self.lpips.apply(v, a, b_), "lpips")
@@ -322,19 +397,18 @@ class PPSTModel:
         if cfg.training_stage == 2:
             _, feas, feas1 = g_ext(params, sp, gl, r_ext)
             sps = jnp.concatenate([feas, rselfcorr(feas1)], axis=-1)
-            corr_sw = self.corrm(sps, self.swap(sps))
-            corr_self = self.corrm(sps, sps)
+            corr_sw, corr_self = self._training_corrs(sps)
             gl = e2_w(params, real, corr_self)
             if cfg.lambda_StyleCon > 0.0:
                 out = e2_full(params, real, corr_sw, mask)
                 pro_ms, gl_w, pro_mw = out.projections_m, out.vectors_w, out.projections_mw
             if cfg.lambda_Cycwarp > 0.0:
-                image_warp = warp(real, corr_sw)
-                image_rec = warp(image_warp, self.swap(corr_sw))
+                image_warp = self._warp_any(real, corr_sw)
+                image_rec = self._warp_any(image_warp, self._swap_corr(corr_sw))
                 reg = lpips_fn(self.lpips_variables, image_rec, real)
                 losses["image_warp_reg"] = jnp.mean(reg) * cfg.lambda_Cycwarp
             if cfg.lambda_Maskwarp > 0.0:
-                mask_warp = warp(mask, corr_sw)
+                mask_warp = self._warp_any(mask, corr_sw)
                 losses["Mask_warp"] = (
                     l1_loss(mask_warp, self.swap(mask)) * cfg.lambda_Maskwarp
                 )
@@ -343,16 +417,22 @@ class PPSTModel:
         if cfg.training_stage == 2 and cfg.lambda_StyleCon > 0.0:
             # one shard-local-batched G pass for rec (B) + mix (B), and
             # one batched E2 mask-projection pass over both outputs —
-            # identical per-sample math, one conv pass each
-            g_out = g_fwd(
+            # identical per-sample math, one conv pass each. (Unbatching
+            # these like the D loss was measured WORSE at 1024px: 21.2
+            # vs 13.1 GiB temp — the split passes pad/fragment more than
+            # the batched interiors cost, and remat already bounds the
+            # G-step peak. unbatch_passes therefore only affects the
+            # D loss, whose generator-side forwards have no remat.)
+            g_out = g_mix(
                 params,
                 self.shard_concat([sp, self.swap(sp)], n_dev),
-                [self.shard_concat([a, w], n_dev) for a, w in zip(gl, gl_w)],
+                [self.shard_concat([a, w], n_dev)
+                 for a, w in zip(gl, gl_w)],
                 r_rec,
             )
             rec, mix = self.shard_split(g_out, [b, b], n_dev)
         else:
-            rec = g_fwd(params, sp, gl, r_rec)
+            rec = g_mix(params, sp, gl, r_rec)
         if cfg.lambda_L1 > 0.0:
             losses["G_L1"] = l1_loss(rec, real) * cfg.lambda_L1
 
@@ -369,7 +449,7 @@ class PPSTModel:
                 pro_2m.append(r_part)
             sp_3 = e1(params, mix)
             gl_half = [self.half_batch(g, n_dev) for g in gl]
-            cyc = g_fwd(
+            cyc = g_cyc(
                 params, self.half_batch(self.swap(sp_3), n_dev), gl_half, r_cyc
             )
             metrics["L1_dist"] = l1_loss(cyc, self.half_batch(real, n_dev))

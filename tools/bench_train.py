@@ -32,6 +32,8 @@ def measure_training(crop: int = 512, batch: int = 2, iters: int = 5,
                      dtype: str = "float32", remat=None,
                      remat_taps: bool = False,
                      remat_blocks: bool = False,
+                     corr_blockwise: bool = False,
+                     unbatch_passes: bool = False,
                      include_r1: bool = True) -> float:
     """Steady-state training images/sec (one D + one G step consume two
     batches, reference train loop semantics; the lazy-R1 D step replaces
@@ -47,7 +49,9 @@ def measure_training(crop: int = 512, batch: int = 2, iters: int = 5,
     if isinstance(remat, str):
         kw = {"remat": True, "remat_nets": remat}
     cfg = PPSTConfig(crop_size=crop, dtype=dtype,
-                     remat_taps=remat_taps, remat_blocks=remat_blocks, **kw)
+                     remat_taps=remat_taps, remat_blocks=remat_blocks,
+                     corr_blockwise=corr_blockwise,
+                     unbatch_passes=unbatch_passes, **kw)
     model = PPSTModel(cfg)
     params, state = random_params_like(
         lambda: model.init(jax.random.PRNGKey(0), crop), seed=0
@@ -92,6 +96,15 @@ def main():
                          "(extra HBM headroom beyond --remat all)")
     ap.add_argument("--remat_blocks", action="store_true",
                     help="nested per-resblock remat inside the generator")
+    ap.add_argument("--corr_blockwise", action="store_true",
+                    help="blockwise (never-materialized) training "
+                         "correspondence — the 1024px path")
+    ap.add_argument("--unbatch", action="store_true",
+                    help="split batched G/D forwards into per-role "
+                         "passes + remat D in the D loss (1024px HBM)")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate params/state/opt buffers (real-training "
+                         "memory footprint; outputs alias arguments)")
     args = ap.parse_args()
 
     from ppst_tpu.models.config import PPSTConfig
@@ -109,12 +122,18 @@ def main():
         kw["remat_taps"] = True
     if args.remat_blocks:
         kw["remat_blocks"] = True
+    if args.corr_blockwise:
+        kw["corr_blockwise"] = True
+    if args.unbatch:
+        kw["unbatch_passes"] = True
     cfg = PPSTConfig(crop_size=args.crop, dtype=args.dtype, **kw)
     model = PPSTModel(cfg)
     params, state = random_params_like(
         lambda: model.init(jax.random.PRNGKey(0), args.crop), seed=0
     )
-    init_opt, d_step, d_step_r1, g_step = build_train_steps(model, donate=False)
+    init_opt, d_step, d_step_r1, g_step = build_train_steps(
+        model, donate=args.donate
+    )
     opt_states = init_opt(params)
     params, state, opt_states = jax.device_put((params, state, opt_states))
     real = jax.random.normal(
@@ -122,12 +141,15 @@ def main():
     ) * 0.3
     mask = jnp.zeros((args.batch, args.crop, args.crop, 3)).at[..., 0].set(1.0)
 
+    # with --donate the steps consume their (params, state, opt) inputs,
+    # so the evolving pytrees are threaded through every call (real
+    # training-loop semantics); without it each step reuses the originals
     results = {}
+    p, s, o = params, state, opt_states
     for name, step in [("d_step", d_step), ("g_step", g_step),
                        ("d_step_r1", d_step_r1)]:
         t0 = time.time()
-        p, s, o, losses = step(params, state, opt_states, real, mask,
-                               jax.random.PRNGKey(2))
+        p, s, o, losses = step(p, s, o, real, mask, jax.random.PRNGKey(2))
         sync(losses)
         compile_s = time.time() - t0
         t0 = time.time()
@@ -137,6 +159,8 @@ def main():
         ms = (time.time() - t0) / args.iters * 1000
         results[name] = {"compile_s": round(compile_s, 1), "steady_ms": round(ms, 1)}
         print(f"{name}: compile {compile_s:.0f}s steady {ms:.0f}ms", flush=True)
+        if not args.donate:
+            p, s, o = params, state, opt_states
 
     imgs_per_sec = args.batch / (
         (results["d_step"]["steady_ms"] + results["g_step"]["steady_ms"]) / 1000
