@@ -177,11 +177,16 @@ def main():
         try:
             from tools.bench_grid import measure_grid
 
-            # 8x8 measured best (81.2 pairs/s vs 69.0 at 4x8 — better
-            # extraction amortization; pair_batch 16 is past the knee at
-            # 59.8). Extraction cost is INCLUDED, amortized over the grid.
-            grid_contents = int(os.environ.get("PPST_BENCH_GRID_CONTENTS", "8"))
-            grid_styles = int(os.environ.get("PPST_BENCH_GRID_STYLES", "8"))
+            # Grid-size sweep (BASELINE.md round-4 table): 4x8 69.0,
+            # 8x8 87.0, 16x16 96.7 pairs/s — throughput rises with grid
+            # size as the per-image extraction amortizes over more
+            # cells (the marginal pair stage is ~8.3 ms/pair); 16x16
+            # (a 32-image folder x folder job, the reference evaluator's
+            # own workload shape) is the default. pair_batch 8 is the
+            # measured knee (16: 95.8). Extraction cost is INCLUDED,
+            # amortized over the grid.
+            grid_contents = int(os.environ.get("PPST_BENCH_GRID_CONTENTS", "16"))
+            grid_styles = int(os.environ.get("PPST_BENCH_GRID_STYLES", "16"))
             grid_pairs_s = measure_grid(
                 crop=CROP,
                 contents=grid_contents,

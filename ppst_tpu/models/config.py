@@ -92,6 +92,18 @@ class PPSTConfig:
     # batch 6 (5.73 img/s; 5.43 with nesting on top; batch 4 with
     # selective remat wins at 7.0) — kept as an HBM-headroom knob for
     # beyond-512px training (BASELINE.md batch-sweep table).
+    # save the prepared conv/linear kernels (tagged by
+    # nn.layers.saveable_kernel) across the loss-level jax.checkpoint
+    # calls via the save_only_these_names policy, instead of re-deriving
+    # them (equalized-lr scale, blur fold, upscale build) in the
+    # backward recompute. Bit-exact either way (verified: identical
+    # losses and post-step params). MEASURED NO-OP at 512px b4 bf16
+    # (g_step 846.1 vs 846.7 ms): the round-4 profile's weight-shaped
+    # formatting HLOs turned out to be gradient-side layout copies, not
+    # forward kernel prep — XLA already hoists/CSEs the cheap prep.
+    # Kept as a knob (it bounds kernel-prep recompute structurally,
+    # which may matter under heavier remat nesting), default off.
+    remat_save_kernels: bool = False
     remat_taps: bool = False
     # nested remat of the generator's head/upsampling resblocks: the
     # backward recomputes one resolution block at a time, holding only

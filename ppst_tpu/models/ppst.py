@@ -121,6 +121,21 @@ class PPSTModel:
         # g_step RESOURCE_EXHAUSTED at 512px b4 bf16 (round 4; the
         # round-3 advisory suggesting False is rejected on that evidence;
         # False is only safe inside lax.scan per the jax docs).
+        if self.cfg.remat_save_kernels:
+            # Save the *prepared* conv/linear kernels (equalized-lr
+            # scale + blur fold + upscale-kernel build — tagged by
+            # nn.layers.saveable_kernel) across the checkpoint instead
+            # of re-deriving them in the backward recompute: kernel prep
+            # is pure data formatting the round-4 g_step profile showed
+            # as ~50+ ms/step of copy/reverse/pad HLOs. Activations are
+            # still rematerialized (the actual memory hot spot); the
+            # extra residency is ~one bf16 param copy per call site.
+            return jax.checkpoint(
+                fn,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "ppst_kernel"
+                ),
+            )
         return jax.checkpoint(fn)
 
     # ------------------------------------------------------------------

@@ -23,8 +23,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.ad_checkpoint import checkpoint_name
+
 from ppst_tpu.ops.fused_act import fused_leaky_relu, scaled_leaky_relu
 from ppst_tpu.ops.upfirdn2d import blur as blur_op
+
+
+def saveable_kernel(w):
+    """Tag a *prepared* conv/linear kernel (equalized-lr scale applied,
+    antialias blur folded, upscale-kernel built) as a remat-saveable
+    value. Under ``jax.checkpoint(..., policy=save_only_these_names(
+    "ppst_kernel"))`` (models/ppst.py::_r) the backward pass reuses the
+    prepared kernels instead of re-deriving them in every rematerialized
+    recompute — kernel preparation is pure data formatting (scales,
+    small fold convs, pads, flips, layout copies) that the round-4
+    g_step profile measured at ~50+ ms/step of copy/reverse/pad HLOs.
+    Saved-kernel memory is ~one bf16 copy of the conv params per
+    rematted call site. Outside a checkpoint context this is a no-op."""
+    return checkpoint_name(w, "ppst_kernel")
 
 # ---------------------------------------------------------------------------
 # Initializers
@@ -163,6 +179,7 @@ class EqualConv2d(nn.Module):
             )
             kk = k + t - 1
             w = comp.reshape(in_ch_w, out_ch, kk, kk).transpose(2, 3, 0, 1)
+        w = saveable_kernel(w)
         pad = self.padding
         if isinstance(pad, int):
             pad = ((pad, pad), (pad, pad))
@@ -195,7 +212,7 @@ class EqualLinear(nn.Module):
             jnp.float32,
         )
         scale = (1.0 / math.sqrt(in_dim)) * self.lr_mul
-        y = x @ (w.astype(x.dtype) * scale)
+        y = x @ saveable_kernel(w.astype(x.dtype) * scale)
         b = None
         if self.use_bias:
             b = self.param(
@@ -236,7 +253,7 @@ class EqualizedLinear(nn.Module):
             "weight", scaled_normal_init(init_std), (in_dim, self.features), jnp.float32
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        return x @ (w.astype(x.dtype) * w_mul) + b.astype(x.dtype)
+        return x @ saveable_kernel(w.astype(x.dtype) * w_mul) + b.astype(x.dtype)
 
 
 class EqualizedConv2d(nn.Module):
@@ -273,15 +290,15 @@ class EqualizedConv2d(nn.Module):
             p = (kk - 1) // 2
             y = _conv2d(
                 x,
-                jnp.flip(w4, (0, 1)),
+                saveable_kernel(jnp.flip(w4, (0, 1))),
                 stride=1,
                 padding=kk - 1 - p,
                 lhs_dilation=(2, 2),
             )
         elif self.upscale:
-            y = _conv2d(nearest_upsample2x(x), w, padding=k // 2)
+            y = _conv2d(nearest_upsample2x(x), saveable_kernel(w), padding=k // 2)
         else:
-            y = _conv2d(x, w, padding=k // 2)
+            y = _conv2d(x, saveable_kernel(w), padding=k // 2)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + b.astype(y.dtype)

@@ -56,9 +56,12 @@ def measure_training(crop: int = 512, batch: int = 2, iters: int = 5,
     params, state = random_params_like(
         lambda: model.init(jax.random.PRNGKey(0), crop), seed=0
     )
-    init_opt, d_step, d_step_r1, g_step = build_train_steps(model, donate=False)
+    # donate=True matches the real train loop (train.py threads the
+    # donated pytrees through every step; measured ~3% faster at 512px
+    # b4 than the non-donated variant rounds 1-3 benched)
+    init_opt, d_step, d_step_r1, g_step = build_train_steps(model, donate=True)
     opt_states = init_opt(params)
-    params, state, opt_states = jax.device_put((params, state, opt_states))
+    p, s, o = jax.device_put((params, state, opt_states))
     real = jax.random.normal(jax.random.PRNGKey(1), (batch, crop, crop, 3)) * 0.3
     mask = jnp.zeros((batch, crop, crop, 3)).at[..., 0].set(1.0)
 
@@ -67,8 +70,7 @@ def measure_training(crop: int = 512, batch: int = 2, iters: int = 5,
     if include_r1:
         steps.append(("r1", d_step_r1))
     for name, step in steps:
-        p, s, o, losses = step(params, state, opt_states, real, mask,
-                               jax.random.PRNGKey(2))
+        p, s, o, losses = step(p, s, o, real, mask, jax.random.PRNGKey(2))
         sync(losses)
         t0 = time.time()
         for i in range(iters):
