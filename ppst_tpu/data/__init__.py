@@ -82,6 +82,27 @@ class ConfigurableDataLoader:
                 getattr(opt, "shuffle_dataset", None) == "true"
             )
         self.batch_size = opt.batch_size
+        # Multi-process (multi-host) training: each process loads only its
+        # contiguous slice of every global batch — the DistributedSampler
+        # semantics of reference data/__init__.py:106,114-121 (per-rank
+        # batch = batch_size / world). The shuffle RNG is seeded by epoch
+        # only, so all processes agree on the global index order.
+        # parallel.mesh.shard_batch assembles the global jax.Array from
+        # these per-process slices.
+        self.num_shards, self.shard_rank = 1, 0
+        if phase == "train":
+            try:
+                import jax
+
+                self.num_shards = jax.process_count()
+                self.shard_rank = jax.process_index()
+            except Exception:
+                pass
+        if self.batch_size % self.num_shards != 0:
+            raise ValueError(
+                f"batch_size {self.batch_size} must be divisible by the "
+                f"process count {self.num_shards}"
+            )
         self.length = len(self.underlying_dataset)
         self.epoch = 0
         self._start_epoch()
@@ -105,6 +126,8 @@ class ConfigurableDataLoader:
 
     def _start_epoch(self):
         self._stop_worker()
+        if hasattr(self.underlying_dataset, "set_epoch"):
+            self.underlying_dataset.set_epoch(self.epoch)
         self._queue: queue.Queue = queue.Queue(maxsize=self.PREFETCH)
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._produce, daemon=True)
@@ -115,13 +138,36 @@ class ConfigurableDataLoader:
         n = len(idx)
         bs = self.batch_size
         end = (n // bs) * bs if self.repeat else n
+        per = bs // self.num_shards
+        lo = self.shard_rank * per
+        # --nThreads (reference data/__init__.py:114-121 num_workers):
+        # per-item load+decode fans out over a thread pool; PIL decode
+        # and the native C++ IO kernels release the GIL, so threads (not
+        # processes) suffice to feed the chip. Batch order and content
+        # are IDENTICAL to the serial path: executor.map preserves
+        # order, and item augmentations draw from per-item RNGs
+        # (BaseDataset.item_rng), never from shared call-order state.
+        n_threads = max(1, int(getattr(self.opt, "nThreads", 1) or 1))
+        pool = None
+        if n_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=n_threads)
         try:
+            ds = self.underlying_dataset
             for i in range(0, end, bs):
                 if self._stop.is_set():
                     return
-                items = [self.underlying_dataset[j] for j in idx[i : i + bs]]
+                take = idx[i + lo : i + lo + per] if self.num_shards > 1 \
+                    else idx[i : i + bs]
+                if pool is not None:
+                    items = list(pool.map(ds.__getitem__, take))
+                else:
+                    items = [ds[j] for j in take]
                 self._queue.put(_collate(items))
         finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
             self._queue.put(None)  # end-of-epoch sentinel
 
     def _stop_worker(self):

@@ -26,6 +26,24 @@ BICUBIC = Image.BICUBIC
 class BaseDataset(ABC):
     def __init__(self, opt):
         self.opt = opt
+        self.epoch = 0
+        self.seed = getattr(opt, "seed", 0)
+
+    def set_epoch(self, epoch: int):
+        """Per-epoch augmentation stream (DistributedSampler-style);
+        called by ConfigurableDataLoader."""
+        self.epoch = epoch
+
+    def item_rng(self, index: int) -> random.Random:
+        """Per-(seed, epoch, item) RNG: augmentation draws depend only on
+        the item identity, never on loader call ORDER — which makes the
+        multi-threaded loader (--nThreads) bit-identical to the serial
+        one, and per-process loading identical to global loading under
+        multi-host (the reference's shared-Random draws are call-order-
+        dependent, so its num_workers>0 batches are not reproducible)."""
+        return random.Random(
+            ((self.seed * 1000003) + self.epoch) * 1000003 + index
+        )
 
     @staticmethod
     def modify_commandline_options(parser, is_train):

@@ -63,9 +63,10 @@ class CelebAMaskDataset(BaseDataset):
             msk = Image.open(b_path).convert("L")
         except OSError as err:
             print(err)
-            return self[self.rng.randrange(len(self))]
+            return self[self.item_rng(index).randrange(len(self))]
 
-        params = sample_transform_params(self.opt, img.size, self.rng)
+        params = sample_transform_params(self.opt, img.size,
+                                         self.item_rng(index))
         if self.native is not None:
             # GIL-free C++ hot path (resize preprocess only)
             size = (self.opt.load_size, self.opt.load_size)

@@ -30,7 +30,8 @@ class ImageFolderDataset(BaseDataset):
             img = Image.open(path).convert("RGB")
         except OSError as err:
             print(err)
-            return self[self.rng.randrange(len(self))]
-        params = sample_transform_params(self.opt, img.size, self.rng)
+            return self[self.item_rng(index).randrange(len(self))]
+        params = sample_transform_params(self.opt, img.size,
+                                         self.item_rng(index))
         img = apply_transform(self.opt, img, params)
         return {"real_A": to_tensor(img), "path_A": path}

@@ -87,7 +87,17 @@ class ContentStyleGridGenerationEvaluator(BaseEvaluator):
     def _evaluate_batched(self, model, structure_images, style_images,
                           structure_paths, style_paths):
         """Amortized path: one batched extraction over all images, then
-        one batched pair dispatch per content row."""
+        one batched pair dispatch per content row.
+
+        Host-side serving plumbing (round 5): outputs are converted to
+        uint8 ON DEVICE (4x less relay traffic than f32), fetched as one
+        bulk array per row, and PNG-encoded by a worker-thread pool
+        while the NEXT row's pair dispatch is already in flight — the
+        device never waits for the webpage."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ppst_tpu.util.util import save_image
+
         n_c, n_s = len(structure_paths), len(style_paths)
         contents = np.concatenate(
             [structure_images[n] for n in structure_paths]
@@ -98,19 +108,42 @@ class ContentStyleGridGenerationEvaluator(BaseEvaluator):
         s_bank = jax.tree.map(lambda a: a[n_c:], bank)
         contents_dev = jnp.asarray(contents)
 
+        pool = ThreadPoolExecutor(max_workers=8)
+        encodes = []
+
+        def flush(row_u8, c_name):
+            arr = np.asarray(row_u8)  # one bulk uint8 fetch per row
+            names = ([c_name + ".png"]
+                     + [f"{c_name}_{s}.png" for s in style_paths])
+            imgs = [tensor2im(structure_images[c_name])[0]] + [
+                arr[k] for k in range(n_s)
+            ]
+            files = []
+            for i, (im, txt) in enumerate(zip(imgs, names)):
+                fname = f"images/{len(self.webpage.body)}_{i}_{txt}"
+                p = os.path.join(self.webpage.web_dir, fname)
+                encodes.append(pool.submit(save_image, im, p))
+                files.append(fname)
+            self.webpage.add_images(files, names)
+            print(f"saved {names}")
+
+        pending = None
         for j, c_name in enumerate(structure_paths):
             ci = np.full((n_s,), j, np.int32)
             si = np.arange(n_s, dtype=np.int32)
             outs = model.grid_pairs(
                 c_bank, s_bank, ci, si, smooth_target=contents_dev
             )
-            self.add_to_webpage(
-                [structure_images[c_name]]
-                + [outs[k : k + 1] for k in range(n_s)],
-                [c_name + ".png"]
-                + [f"{c_name}_{s}.png" for s in style_paths],
-            )
-            self.webpage.save()
+            row_u8 = model.to_uint8(outs)  # stays on device
+            if pending is not None:
+                flush(*pending)  # overlaps with the dispatch above
+            pending = (row_u8, c_name)
+        if pending is not None:
+            flush(*pending)
+        for f in encodes:
+            f.result()
+        pool.shutdown()
+        self.webpage.save()
 
     def _evaluate_pairwise(self, model, structure_images, style_images,
                            structure_paths, style_paths):

@@ -143,10 +143,19 @@ class PPSTConfig:
     # Route the generator's 1x1 feature tap through the fused Pallas
     # IN-chain kernel (ops.tap_pallas) in bfloat16 compute mode. Exactly
     # the same parameters and math modulo bf16 rounding, ~2x faster on
-    # the tap (it is HBM-bound under XLA's reduction barriers).
-    # INFERENCE-ONLY: the kernel defines no VJP — leave False for
-    # training graphs.
+    # the tap (it is HBM-bound under XLA's reduction barriers). Legal in
+    # training since round 5: the kernel carries a custom VJP whose
+    # backward is four more Pallas kernels (gradient-exactness:
+    # tests/test_pallas_kernels.py::test_tap_pallas_grad).
     fused_tap: bool = False
+    # Route the generator's non-upsampled StyledConvs through the fused
+    # Pallas conv+epilogue kernel (ops.styled_conv_pallas; forward AND
+    # backward — legal in bf16 training). Identical parameter tree.
+    # Default off: the round-5 standalone head-to-head measured XLA's
+    # own lowering FASTER on these shapes (e.g. 154 vs 119 TF/s fwd at
+    # 128^2x512 — see BASELINE.md round-5); kept as the in-context
+    # measurement knob and as the base for future fusions.
+    fused_styled_conv: bool = False
 
     @property
     def style_dim(self) -> int:

@@ -66,12 +66,15 @@ class ResolutionPreservingResnetBlock(nn.Module):
     """(skip + styledconv x2) / sqrt(2) (reference generator.py:47-60)."""
 
     features: int
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, style, noises=(None, None)):
         in_ch = x.shape[-1]
-        res = StyledConv(self.features, 3, name="conv1")(x, style, noises[0])
-        res = StyledConv(self.features, 3, name="conv2")(res, style, noises[1])
+        res = StyledConv(self.features, 3, fused=self.fused,
+                         name="conv1")(x, style, noises[0])
+        res = StyledConv(self.features, 3, fused=self.fused,
+                         name="conv2")(res, style, noises[1])
         skip = x
         if in_ch != self.features:
             skip = ConvLayer(
@@ -86,6 +89,7 @@ class UpsamplingResnetBlock(nn.Module):
 
     features: int
     use_noise: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, style, noises=(None, None)):
@@ -94,7 +98,8 @@ class UpsamplingResnetBlock(nn.Module):
             self.features, 3, upsample=True, use_noise=self.use_noise, name="conv1"
         )(x, style, noises[0])
         res = StyledConv(
-            self.features, 3, use_noise=self.use_noise, name="conv2"
+            self.features, 3, use_noise=self.use_noise, fused=self.fused,
+            name="conv2"
         )(res, style, noises[1])
         skip = x
         if in_ch != self.features:
@@ -165,8 +170,8 @@ class _FeatureTap(nn.Module):
     ``fused``: route the 1x1 tap through the fused Pallas IN-chain kernel
     (ops.tap_pallas) in bfloat16 compute mode — the XLA composite is
     bandwidth-bound on the generator's largest activation. Same
-    parameters, same math modulo bf16 rounding; inference-only (the
-    kernel defines no VJP), gated by PPSTConfig.fused_tap."""
+    parameters, same math modulo bf16 rounding; differentiable (Pallas
+    backward kernels, round 5), gated by PPSTConfig.fused_tap."""
 
     conv1x1: bool = False
     feature_ch: int = 256
@@ -237,13 +242,16 @@ class Generator(nn.Module):
         Up = (nn.remat(UpsamplingResnetBlock)
               if cfg.remat_blocks else UpsamplingResnetBlock)
 
+        fuse_sc = getattr(cfg, "fused_styled_conv", False)
         x = GeneratorModulation(cfg.spatial_code_ch, name="sp_mod")(
             spatial_code, codes[-1]
         )
         for i in range(cfg.netG_num_base_resnet_layers):
             out_ch = (i + 1) / cfg.netG_num_base_resnet_layers * cfg.nf_g(0)
             out_ch = max(cfg.spatial_code_ch, round(out_ch))
-            x = Head(out_ch, name=f"head{i}")(x, codes[-1], take2())
+            x = Head(out_ch, fused=fuse_sc, name=f"head{i}")(
+                x, codes[-1], take2()
+            )
 
         fc = cfg.netG_resnet_ch  # reference feature_channel (generator.py:226)
         # cfg.remat_taps: checkpoint each tap/fuse block separately so the
@@ -263,7 +271,8 @@ class Generator(nn.Module):
 
         for j in range(n_up):
             x = Up(
-                cfg.nf_g(j + 1), use_noise=cfg.netG_use_noise, name=f"up{2 ** (4 + j)}"
+                cfg.nf_g(j + 1), use_noise=cfg.netG_use_noise,
+                fused=fuse_sc, name=f"up{2 ** (4 + j)}"
             )(x, codes[-2 - j], take2())
             if extract_features:
                 feas.append(

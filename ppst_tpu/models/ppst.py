@@ -695,14 +695,18 @@ class PPSTModel:
         return {"sp": sp, "desc": desc, "trunk": trunk, "vectors": vec.vectors}
 
     def grid_pairs(self, params, content_bank, style_bank, ci, si, rng,
-                   alpha: float = 1.0, smooth_target=None, noises=None):
+                   alpha: float = 1.0, smooth_target=None, noises=None,
+                   blockwise: bool = False):
         """Pair stage of grid serving: stylize the batch of
         (content ci[k], style si[k]) pairs, gathering inputs from the
         precomputed banks (``grid_extract`` outputs). Per pair this runs
         only corrm + E2 style warp + decode — the amortized marginal
         pipeline (~0.9 TFLOP/pair vs ~3.6 for the full per-pair path).
         ``smooth_target``: content images (N_c, H, W, 3) to enable the
-        in-graph guided filter, gathered per pair."""
+        in-graph guided filter, gathered per pair. ``blockwise``: route
+        the correspondence through the fused Pallas blockwise kernel
+        (never materializes the L x L matrix) — the 1024px+ grid path,
+        where the dense matrix is ~1 GiB/pair (SURVEY.md 5.7)."""
         take = lambda bank, idx: jax.tree.map(
             lambda a: jnp.take(a, idx, axis=0), bank
         )
@@ -710,15 +714,30 @@ class PPSTModel:
         sp_c = jnp.take(content_bank["sp"], ci, axis=0)
         desc_s = jnp.take(style_bank["desc"], si, axis=0)
         trunk_s = take(style_bank["trunk"], si)
-        corr = self.corrm(desc_s, desc_c)
-        gl_w = self.e2.apply(
-            {"params": params["E2"]},
-            None,
-            corrmatrix=corr,
-            corr_out_hw=(desc_c.shape[1], desc_c.shape[2]),
-            trunk=trunk_s,
-            warped_only=True,
-        ).vectors_w
+        if blockwise:
+            from ppst_tpu.ops.corr_pallas import _normalize_desc
+
+            b, gh, gw, c = desc_c.shape
+            q = _normalize_desc(desc_c.reshape(b, gh * gw, c))
+            k = _normalize_desc(desc_s.reshape(b, -1, c))
+            gl_w = self.e2.apply(
+                {"params": params["E2"]},
+                None,
+                corr_qk=(q, k),
+                corr_out_hw=(gh, gw),
+                trunk=trunk_s,
+                warped_only=True,
+            ).vectors_w
+        else:
+            corr = self.corrm(desc_s, desc_c)
+            gl_w = self.e2.apply(
+                {"params": params["E2"]},
+                None,
+                corrmatrix=corr,
+                corr_out_hw=(desc_c.shape[1], desc_c.shape[2]),
+                trunk=trunk_s,
+                warped_only=True,
+            ).vectors_w
         if alpha != 1.0:
             vec_c = [jnp.take(v, ci, axis=0) for v in content_bank["vectors"]]
             gl_w = [a * (1 - alpha) + b * alpha for a, b in zip(vec_c, gl_w)]

@@ -354,19 +354,82 @@ class NoiseInjection(nn.Module):
         return x + gain.astype(x.dtype) * noise
 
 
+class _EqualizedConvParams(nn.Module):
+    """Parameter-only twin of ``EqualizedConv2d`` (same names, shapes,
+    initializers) for the fused Pallas StyledConv path."""
+
+    features: int
+    kernel_size: int
+    gain: float = math.sqrt(2.0)
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        k = self.kernel_size
+        std = self.gain / math.sqrt(in_ch * k * k)
+        w = self.param(
+            "weight", scaled_normal_init(std), (k, k, in_ch, self.features),
+            jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return w, b
+
+
+class _NoiseGainParam(nn.Module):
+    """Parameter-only twin of ``NoiseInjection``."""
+
+    @nn.compact
+    def __call__(self):
+        return self.param("weight", nn.initializers.zeros, (1,),
+                          jnp.float32)[0]
+
+
+class _StyleModLin(nn.Module):
+    """StyleMod's linear, computed in XLA (tiny); same param path."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, latent):
+        s = EqualizedLinear(
+            self.channels * 2, gain=1.0, use_wscale=True, name="lin"
+        )(latent)
+        return s[:, : self.channels], s[:, self.channels :]
+
+
+class _EpilogueStyle(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, latent):
+        return _StyleModLin(self.channels, name="style_mod")(latent)
+
+
 class StyledConv(nn.Module):
     """EqualizedConv2d -> noise -> bias -> fused lrelu -> epilogue
     (reference stylegan2_layers.py:439-475). Note: activation-space
     modulation, NOT weight demodulation — and there are two learned biases
-    (StyledConv's own and FusedLeakyReLU's), kept for parity."""
+    (StyledConv's own and FusedLeakyReLU's), kept for parity.
+
+    ``fused``: route the whole chain through the Pallas
+    ops.styled_conv_pallas kernel (3x3, non-upsampled, bf16 compute
+    only; other configurations fall back to the composite). Identical
+    parameter tree; the only semantic difference is that when ``noise``
+    is not pinned it is drawn from this module's 'noise' RNG stream
+    instead of the child NoiseInjection's (different stream, same
+    distribution)."""
 
     features: int
     kernel_size: int
     upsample: bool = False
     use_noise: bool = True
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, style, noise=None):
+        if (self.fused and not self.upsample and self.kernel_size == 3
+                and x.dtype == jnp.bfloat16):
+            return self._fused(x, style, noise)
         y = EqualizedConv2d(
             self.features, self.kernel_size, upscale=self.upsample, name="conv"
         )(x)
@@ -378,6 +441,31 @@ class StyledConv(nn.Module):
         )
         y = fused_leaky_relu(y + bias.astype(y.dtype), act_bias)
         return LayerEpilogue(self.features, name="epi1")(y, style)
+
+    def _fused(self, x, style, noise):
+        from ppst_tpu.ops.styled_conv_pallas import styled_conv3x3
+
+        b, h, w, _ = x.shape
+        cw, cb = _EqualizedConvParams(self.features, 3, name="conv")(
+            x.shape[-1]
+        )
+        if self.use_noise:
+            gain = _NoiseGainParam(name="noise")()
+            if noise is None:
+                noise = jax.random.normal(
+                    self.make_rng("noise"), (b, h, w, 1), jnp.float32
+                )
+        else:
+            gain = jnp.float32(0.0)
+            noise = jnp.zeros((b, h, w, 1), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        act_bias = self.param("act_bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+        scale, shift = _EpilogueStyle(self.features, name="epi1")(style)
+        return styled_conv3x3(
+            x, cw, noise, gain, cb + bias + act_bias, scale, shift
+        )
 
 
 class ToRGB(nn.Module):

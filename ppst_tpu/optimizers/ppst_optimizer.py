@@ -73,7 +73,14 @@ class PPSTOptimizer:
         # host round trip EACH (~30 ms through the axon relay), which
         # dominated measured step time
         keys = list(losses)
-        stacked = np.asarray(jax.numpy.stack([losses[k] for k in keys]))
+        if jax.process_count() == 1:
+            stacked = np.asarray(jax.numpy.stack([losses[k] for k in keys]))
+        else:
+            # eager ops cannot consume non-fully-addressable arrays; the
+            # replicated loss scalars are read through a local shard
+            from ppst_tpu.parallel.mesh import host_value
+
+            stacked = np.asarray([host_value(losses[k]) for k in keys])
         out = dict(zip(keys, stacked))
         if getattr(self.opt, "debug_nan", False):
             bad = [k for k, v in out.items() if not np.isfinite(v).all()]

@@ -71,6 +71,15 @@ class BaseOptions:
         parser.add_argument("--remat_blocks", type=str2bool, default=False,
                             help="nested per-resblock remat inside the "
                                  "generator (lower peak HBM)")
+        parser.add_argument("--fused_tap", type=str2bool, default=False,
+                            help="fused Pallas 1x1 feature-tap kernel "
+                                 "(bf16; differentiable)")
+        parser.add_argument("--fused_styled_conv", type=str2bool,
+                            default=False,
+                            help="fused Pallas StyledConv kernel for the "
+                                 "generator's non-upsampled 3x3 convs "
+                                 "(bf16; fwd+bwd; measurement knob — XLA "
+                                 "measured faster, see BASELINE.md r5)")
         # observability (SURVEY.md 5.1/5.2 TPU equivalents)
         parser.add_argument("--profile_dir", type=str, default=None,
                             help="write a jax.profiler trace of steps "

@@ -24,7 +24,12 @@ import numpy as np
 from flax import serialization
 
 from ppst_tpu.models.config import PPSTConfig
-from ppst_tpu.parallel.mesh import make_mesh, replicated_sharding
+from ppst_tpu.parallel.mesh import (
+    host_value,
+    make_mesh,
+    replicate_tree,
+    replicated_sharding,
+)
 
 
 class ModelBundle:
@@ -38,7 +43,7 @@ class ModelBundle:
         self.mesh = make_mesh(getattr(opt, "num_gpus", None) or None)
         self.rng = jax.random.PRNGKey(getattr(opt, "seed", 0))
         self.rng, init_key = jax.random.split(self.rng)
-        with jax.default_device(jax.devices()[0]):
+        with jax.default_device(jax.local_devices()[0]):
             self.params, self.state = self.model.init(init_key, self.cfg.crop_size)
         self.opt_states: Optional[Dict[str, Any]] = None  # set by the optimizer
         if jax.process_index() == 0:
@@ -88,6 +93,15 @@ class ModelBundle:
         os.symlink(name, latest)
         print(f"Saved checkpoint at {path}")
 
+    @staticmethod
+    def _snapshot_leaf(a):
+        """Fresh device buffer holding the leaf's (replicated) value —
+        multi-process-safe: non-fully-addressable replicated arrays are
+        snapshotted through a local addressable shard."""
+        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            return a.addressable_shards[0].data.copy()
+        return a.copy() if isinstance(a, jax.Array) else a
+
     def save(self, steps: int, blocking: bool = True):
         """Checkpoint. With ``blocking=False`` the training thread only
         snapshots the payload into FRESH device buffers (an O(device
@@ -95,18 +109,20 @@ class ModelBundle:
         donation deleting the originals); the slow device->host fetch
         through the relay AND serialization + disk IO all run on the
         background thread. One save in flight at a time; writer failures
-        are re-raised at the next join/save."""
+        are re-raised at the next join/save.
+
+        Multi-process: only process 0 writes (reference train.py:43-44
+        rank-gates saves); params/state/opt are replicated, so its local
+        shards carry the full values. No collectives run here, so the
+        other processes simply skip."""
         self.join_pending_save()
+        if jax.process_index() != 0:
+            return
         if blocking:
-            payload = jax.tree.map(
-                np.asarray, jax.device_get(self._ckpt_payload())
-            )
+            payload = jax.tree.map(host_value, self._ckpt_payload())
             self._write_checkpoint(payload, steps)
             return
-        snap = jax.tree.map(
-            lambda a: a.copy() if isinstance(a, jax.Array) else a,
-            self._ckpt_payload(),
-        )
+        snap = jax.tree.map(self._snapshot_leaf, self._ckpt_payload())
         import threading
 
         def _write():
@@ -200,12 +216,12 @@ class ModelBundle:
             return False
 
     def replicate(self):
-        """Place params/state on the mesh (replicated)."""
-        sh = replicated_sharding(self.mesh)
-        self.params = jax.device_put(self.params, sh)
-        self.state = jax.device_put(self.state, sh)
+        """Place params/state on the mesh (replicated; multi-process-safe
+        via parallel.mesh.replicate_tree)."""
+        self.params = replicate_tree(self.mesh, self.params)
+        self.state = replicate_tree(self.mesh, self.state)
         if self.opt_states is not None:
-            self.opt_states = jax.device_put(self.opt_states, sh)
+            self.opt_states = replicate_tree(self.mesh, self.opt_states)
 
     # ------------------------------------------------------------------
     # jitted inference API (reference ppst_model.py:264-315 command verbs)
@@ -279,6 +295,17 @@ class ModelBundle:
         )
         return fn(self.params, content_bank, style_bank, ci, si,
                   self.next_rng(), jnp.asarray(smooth_target))
+
+    def to_uint8(self, images):
+        """Device-side [-1,1] float -> uint8 (tensor2im's math); keeps
+        the relay fetch 4x smaller for serving rows."""
+        fn = self._jit(
+            "to_uint8",
+            lambda x: jnp.clip(
+                (x.astype(jnp.float32) + 1.0) * 127.5, 0, 255
+            ).astype(jnp.uint8),
+        )
+        return fn(images)
 
     def decode(self, sp, gl, target=None):
         if target is None:

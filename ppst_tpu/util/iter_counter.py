@@ -13,6 +13,17 @@ import time
 import numpy as np
 
 
+def _is_primary_process() -> bool:
+    """Multi-host: only process 0 writes shared files (the reference
+    rank-gates at train.py:32-55)."""
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 class IterationCounter:
     @staticmethod
     def modify_commandline_options(parser, is_train):
@@ -55,7 +66,7 @@ class IterationCounter:
             self.steps_so_far = steps
 
     def record_one_iteration(self):
-        if self.needs_saving():
+        if self.needs_saving() and _is_primary_process():
             os.makedirs(os.path.dirname(self.iter_record_path), exist_ok=True)
             np.savetxt(
                 self.iter_record_path, [self.steps_so_far], delimiter=",", fmt="%d"

@@ -17,9 +17,11 @@ class Visualizer:
         return parser
 
     def __init__(self, opt):
+        from ppst_tpu.util.iter_counter import _is_primary_process
+
         self.opt = opt
         self.log_name = os.path.join(opt.checkpoints_dir, opt.name, "loss_log.txt")
-        if getattr(opt, "isTrain", True):
+        if getattr(opt, "isTrain", True) and _is_primary_process():
             os.makedirs(os.path.dirname(self.log_name), exist_ok=True)
             with open(self.log_name, "a") as f:
                 now = time.strftime("%c")

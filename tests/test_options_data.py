@@ -122,3 +122,34 @@ def test_synthetic_dataset(tmp_path):
     assert batch["real_A"].shape == (4, 64, 64, 3)
     assert batch["mask_A"].shape == (4, 64, 64, 3)
     loader._stop_worker()
+
+
+def test_nthreads_identical_batches(tmp_path):
+    """--nThreads > 1 must produce bit-identical batches to the serial
+    loader: augmentation draws come from per-item RNGs
+    (BaseDataset.item_rng), not shared call-order state, and
+    executor.map preserves order (VERDICT r4 ask #6)."""
+    import ppst_tpu.data as data
+
+    img_dir, msk_dir = _write_pair_tree(tmp_path, n=8)
+
+    def batches(n_threads, count=6):
+        opt = parse_train(
+            ["--name", f"t{n_threads}",
+             "--checkpoints_dir", str(tmp_path / f"ckpt{n_threads}"),
+             "--dataset_mode", "celebamask", "--dataroot", img_dir,
+             "--dataroot2", msk_dir, "--preprocess", "resize",
+             "--load_size", "64", "--crop_size", "64", "--batch_size", "4",
+             "--nThreads", str(n_threads)]
+        )
+        loader = data.create_dataset(opt)
+        out = [next(loader) for _ in range(count)]
+        loader._stop_worker()
+        return out
+
+    serial = batches(1)
+    threaded = batches(4)
+    for b1, b2 in zip(serial, threaded):
+        np.testing.assert_array_equal(b1["real_A"], b2["real_A"])
+        np.testing.assert_array_equal(b1["mask_A"], b2["mask_A"])
+        assert b1["path_A"] == b2["path_A"]

@@ -36,7 +36,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 
 def build_grid_pipeline(crop: int, dtype, smooth: bool = True,
-                        fast_pool: bool = False):
+                        fast_pool: bool = False, blockwise: bool = False):
     """(params, extract_fn, pairs_fn, model): jitted extraction and
     pair-stage callables over grid banks."""
     from ppst_tpu.models.config import PPSTConfig
@@ -61,6 +61,7 @@ def build_grid_pipeline(crop: int, dtype, smooth: bool = True,
         return model.grid_pairs(
             params, content_bank, style_bank, ci, si, rng,
             smooth_target=targets if smooth else None,
+            blockwise=blockwise,
         )
 
     return params, extract, pairs, model
@@ -69,12 +70,12 @@ def build_grid_pipeline(crop: int, dtype, smooth: bool = True,
 def measure_grid(crop: int = 512, contents: int = 4, styles: int = 8,
                  pair_batch: int = 8, iters: int = 10,
                  dtype: str = "bfloat16", smooth: bool = True,
-                 fast_pool: bool = False) -> float:
+                 fast_pool: bool = False, blockwise: bool = False) -> float:
     """Grid pairs/sec on the current device, extraction amortized over
     the contents x styles grid. Importable by bench.py."""
     dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     params, extract, pairs, _ = build_grid_pipeline(
-        crop, dt, smooth=smooth, fast_pool=fast_pool
+        crop, dt, smooth=smooth, fast_pool=fast_pool, blockwise=blockwise
     )
 
     key = jax.random.PRNGKey(1)
@@ -135,12 +136,17 @@ def main():
                     help="disable the in-graph guided filter")
     ap.add_argument("--fast_pool", action="store_true",
                     help="e2_fast_warp_pool serving approximation")
+    ap.add_argument("--blockwise", action="store_true",
+                    help="fused Pallas blockwise correspondence in the "
+                         "pair stage (the 1024px+ grid path: dense corr "
+                         "is ~1 GiB/pair at L=16384)")
     args = ap.parse_args()
 
     pairs_s = measure_grid(
         crop=args.crop, contents=args.contents, styles=args.styles,
         pair_batch=args.pair_batch, iters=args.iters, dtype=args.dtype,
         smooth=not args.no_smooth, fast_pool=args.fast_pool,
+        blockwise=args.blockwise,
     )
     print(json.dumps({
         "metric": f"grid_pairs_per_sec_per_chip_{args.crop}px",

@@ -34,6 +34,8 @@ def measure_training(crop: int = 512, batch: int = 2, iters: int = 5,
                      remat_blocks: bool = False,
                      corr_blockwise: bool = False,
                      unbatch_passes: bool = False,
+                     fused_styled_conv: bool = False,
+                     fused_tap: bool = False,
                      include_r1: bool = True) -> float:
     """Steady-state training images/sec (one D + one G step consume two
     batches, reference train loop semantics; the lazy-R1 D step replaces
@@ -51,7 +53,9 @@ def measure_training(crop: int = 512, batch: int = 2, iters: int = 5,
     cfg = PPSTConfig(crop_size=crop, dtype=dtype,
                      remat_taps=remat_taps, remat_blocks=remat_blocks,
                      corr_blockwise=corr_blockwise,
-                     unbatch_passes=unbatch_passes, **kw)
+                     unbatch_passes=unbatch_passes,
+                     fused_styled_conv=fused_styled_conv,
+                     fused_tap=fused_tap, **kw)
     model = PPSTModel(cfg)
     params, state = random_params_like(
         lambda: model.init(jax.random.PRNGKey(0), crop), seed=0
@@ -104,6 +108,13 @@ def main():
     ap.add_argument("--unbatch", action="store_true",
                     help="split batched G/D forwards into per-role "
                          "passes + remat D in the D loss (1024px HBM)")
+    ap.add_argument("--fused_styled_conv", action="store_true",
+                    help="route non-upsampled StyledConvs through the "
+                         "Pallas conv+epilogue kernel (in-context "
+                         "comparison knob; bf16 only)")
+    ap.add_argument("--fused_tap", action="store_true",
+                    help="fused Pallas 1x1 feature tap (now "
+                         "differentiable) in the training graph")
     ap.add_argument("--donate", action="store_true",
                     help="donate params/state/opt buffers (real-training "
                          "memory footprint; outputs alias arguments)")
@@ -128,6 +139,10 @@ def main():
         kw["corr_blockwise"] = True
     if args.unbatch:
         kw["unbatch_passes"] = True
+    if args.fused_styled_conv:
+        kw["fused_styled_conv"] = True
+    if args.fused_tap:
+        kw["fused_tap"] = True
     cfg = PPSTConfig(crop_size=args.crop, dtype=args.dtype, **kw)
     model = PPSTModel(cfg)
     params, state = random_params_like(

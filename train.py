@@ -10,6 +10,32 @@ from ppst_tpu.util import IterationCounter, MetricTracker, Visualizer
 
 
 def main():
+    import os
+
+    # Multi-host: rendezvous BEFORE any JAX backend touch (the TPU-native
+    # analog of torch.distributed.launch's env:// NCCL rendezvous,
+    # reference models/__init__.py:78-83 + tmux_launcher.py:86-90). On
+    # real TPU pods jax.distributed.initialize() auto-detects from the
+    # TPU environment; the explicit envs drive CPU/loopback meshes
+    # (tools/multihost_cli_smoke.py).
+    if os.environ.get("PPST_PLATFORM"):
+        # the axon TPU plugin ignores the JAX_PLATFORMS env var; the
+        # config knob wins (used by tools/multihost_cli_smoke.py to pin
+        # the virtual CPU mesh)
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["PPST_PLATFORM"])
+    if os.environ.get("PPST_NUM_PROCESSES"):
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=os.environ["PPST_COORDINATOR"],
+            num_processes=int(os.environ["PPST_NUM_PROCESSES"]),
+            process_id=int(os.environ["PPST_PROCESS_ID"]),
+        )
+        # (the Gloo collective context is warmed clique-exactly inside
+        # parallel.mesh.make_mesh — see _warmup_collectives)
+
     from ppst_tpu.util.cache import setup_compile_cache
 
     setup_compile_cache()
@@ -59,14 +85,23 @@ def main():
             metric_tracker.update_metrics(losses, smoothe=True)
         step_idx += 1
 
+        # rank-0 gating (reference train.py:32-55): losses were already
+        # fetched on every process (the jitted steps are SPMD), but file/
+        # console output belongs to process 0 alone
+        import jax as _jax
+
+        primary = _jax.process_index() == 0
+
         with iter_counter.time_measurement("maintenance"):
-            if iter_counter.needs_printing():
+            if iter_counter.needs_printing() and primary:
                 visualizer.print_current_losses(
                     iter_counter.steps_so_far,
                     iter_counter.time_measurements,
                     metric_tracker.current_metrics(),
                 )
-            if iter_counter.needs_displaying():
+            if (iter_counter.needs_displaying() and primary
+                    and _jax.process_count() == 1):
+                # snapshot_core is a single-host jit; see the eval note
                 # periodic snapshot grid (the reference ships this hook
                 # commented out; here it saves real/layout/rec/mix rows)
                 import numpy as np
@@ -88,10 +123,20 @@ def main():
                 # the background while training continues
                 optimizer.save(iter_counter.steps_so_far, blocking=False)
             if iter_counter.needs_evaluation():
-                metrics = evaluators.evaluate(
-                    model, dataset, iter_counter.steps_so_far
-                )
-                metric_tracker.update_metrics(metrics, smoothe=False)
+                if _jax.process_count() > 1:
+                    # evaluator jits are single-host programs; running them
+                    # against the globally-replicated params would need
+                    # local param copies. Skipped under multi-host (the
+                    # reference also evaluates on rank 0 only, with DDP's
+                    # per-rank module replica).
+                    if primary:
+                        print("[eval] skipped under multi-host training; "
+                              "run test.py on the checkpoints instead")
+                else:
+                    metrics = evaluators.evaluate(
+                        model, dataset, iter_counter.steps_so_far
+                    )
+                    metric_tracker.update_metrics(metrics, smoothe=False)
             if iter_counter.completed_training():
                 break
             iter_counter.record_one_iteration()
