@@ -99,14 +99,20 @@ class ContentStyleGridGenerationEvaluator(BaseEvaluator):
         from ppst_tpu.util.util import save_image
 
         n_c, n_s = len(structure_paths), len(style_paths)
+        # serving compute dtype follows --dtype (the loader produces f32)
+        dt = (jnp.bfloat16
+              if getattr(self.opt, "dtype", "float32") == "bfloat16"
+              else jnp.float32)
         contents = np.concatenate(
             [structure_images[n] for n in structure_paths]
         )
         styles = np.concatenate([style_images[n] for n in style_paths])
-        bank = model.grid_extract(np.concatenate([contents, styles]))
+        bank = model.grid_extract(
+            jnp.asarray(np.concatenate([contents, styles])).astype(dt)
+        )
         c_bank = jax.tree.map(lambda a: a[:n_c], bank)
         s_bank = jax.tree.map(lambda a: a[n_c:], bank)
-        contents_dev = jnp.asarray(contents)
+        contents_dev = jnp.asarray(contents).astype(dt)
 
         pool = ThreadPoolExecutor(max_workers=8)
         encodes = []

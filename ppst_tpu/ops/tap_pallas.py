@@ -49,14 +49,18 @@ from jax.experimental.pallas import tpu as pltpu
 _EPS = 1e-5
 
 
-def _pick_bh(h: int) -> int:
-    # 16 rows x 512 lanes x 128ch keeps the conv stage's working set
+def _pick_bh(h: int, w: int = 512, cin: int = 128) -> int:
+    # Budget-aware row-block height: the conv stage's working set
     # (bf16 block + f32 normalized copy + f32 matmul result + double
-    # buffering) under the 16 MB VMEM budget; 32 rows OOMs at W=512.
-    for bh in (16, 8):
-        if h % bh == 0:
+    # buffering) scales with bh*w*cin; 16 rows at W=512/Cin=128 is the
+    # measured sweet spot (~8.4 MB), 32 rows OOMs there, and W=1024
+    # needs 8 rows (16 rows hit the 16 MB scoped-vmem limit — round-5
+    # 1024px grid serving).
+    budget = 9 * 1024 * 1024
+    for bh in (16, 8, 4, 2, 1):
+        if h % bh == 0 and bh * w * cin * 8 <= budget:
             return bh
-    return h
+    return 1
 
 
 def _stats_kernel(x_ref, s_ref):
@@ -131,7 +135,7 @@ def fused_tap_1x1(x, w1, b1, a1, w2, b2, a2, interpret: bool | None = None):
 def _fused_tap_impl(interpret, x, w1, b1, a1, w2, b2, a2):
     b, h, w, cin = x.shape
     c1, c2 = w1.shape[1], w2.shape[1]
-    bh = _pick_bh(h)
+    bh = _pick_bh(h, w, cin)
     grid = (b, h // bh)
     seq = dict(
         compiler_params=pltpu.CompilerParams(
@@ -367,7 +371,11 @@ def _fused_tap_bwd(interpret, res, g):
     n = float(h * w)
     # smaller row blocks than forward: the middle kernel holds several
     # f32 temporaries of the row block at once
-    bh = 8 if h % 8 == 0 else _pick_bh(h)
+    # smaller blocks than forward: the middle backward kernel holds
+    # several f32 temporaries of the row block at once
+    bh = min(8, _pick_bh(h, w, cin))
+    if w * cin >= 1024 * 128 and h % 4 == 0:
+        bh = 4
     grid = (b, h // bh)
     seq = dict(
         compiler_params=pltpu.CompilerParams(

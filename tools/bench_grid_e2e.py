@@ -83,6 +83,7 @@ def main():
         "--batch_size", "4",
         "--nThreads", str(args.nThreads),
         "--dtype", args.dtype,
+        "--fused_tap", "true" if args.dtype == "bfloat16" else "false",
         "--evaluation_metrics", "content_style_1t1_generation",
     ]
     old_argv = sys.argv
@@ -92,16 +93,44 @@ def main():
     finally:
         sys.argv = old_argv
 
-    # a checkpoint for the real test.py load path: save a fresh init
+    # a checkpoint for the real test.py load path. Params come from
+    # fast_init (eval_shape + host fill): the real 512px model.init is a
+    # multi-minute cold compile that benchmarking doesn't need, and
+    # throughput is distribution-independent (util/fast_init docstring).
     from ppst_tpu.train.bundle import ModelBundle
+    from ppst_tpu.util.fast_init import random_params_like
 
-    bundle = ModelBundle(opt)
+    t_build = time.perf_counter()
+    bundle = ModelBundle.__new__(ModelBundle)
+    bundle.opt = opt
+    from ppst_tpu.models.config import PPSTConfig
+    from ppst_tpu.models import find_model_using_name
+    from ppst_tpu.parallel.mesh import make_mesh
+
+    import jax
+
+    bundle.cfg = PPSTConfig.from_options(opt)
+    bundle.model = find_model_using_name("ppst")(bundle.cfg)
+    bundle.mesh = make_mesh(1)
+    bundle.rng = jax.random.PRNGKey(0)
+    bundle.params, bundle.state = random_params_like(
+        lambda: bundle.model.init(jax.random.PRNGKey(0), bundle.cfg.crop_size),
+        seed=0,
+    )
+    bundle.opt_states = None
     bundle.save(0)
     bundle.load("latest")
+    print(f"[bench] bundle built+saved+loaded in "
+          f"{time.perf_counter() - t_build:.1f}s", flush=True)
 
     dataset = data.create_dataset(opt)
     evaluators = GroupEvaluator(opt)
 
+    # pass 1 compiles the extraction/pair programs (one-time; persisted
+    # in the compile cache); pass 2 is the steady-state serving number
+    t0 = time.perf_counter()
+    evaluators.evaluate(bundle, dataset, opt.resume_iter)
+    cold = time.perf_counter() - t0
     t0 = time.perf_counter()
     evaluators.evaluate(bundle, dataset, opt.resume_iter)
     dt = time.perf_counter() - t0
@@ -113,6 +142,7 @@ def main():
         "unit": "pairs/s",
         "grid": f"{args.contents}x{args.styles}",
         "wall_s": round(dt, 2),
+        "cold_wall_s": round(cold, 2),
         "includes": "PNG decode + preprocess + extraction + pairs + "
                     "uint8 fetch + PNG encode + HTML",
     }))
