@@ -146,6 +146,8 @@ def main():
         "includes": "PNG decode + preprocess + extraction + pairs + "
                     "uint8 fetch + PNG encode + HTML",
     }))
+    dataset._stop_worker()  # before rmtree: the prefetch thread may
+    # otherwise race a re-iteration against the corpus deletion
     if not args.keep:
         shutil.rmtree(root, ignore_errors=True)
 
