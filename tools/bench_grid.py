@@ -70,7 +70,8 @@ def build_grid_pipeline(crop: int, dtype, smooth: bool = True,
 def measure_grid(crop: int = 512, contents: int = 4, styles: int = 8,
                  pair_batch: int = 8, iters: int = 10,
                  dtype: str = "bfloat16", smooth: bool = True,
-                 fast_pool: bool = False, blockwise: bool = False) -> float:
+                 fast_pool: bool = False, blockwise: bool = False,
+                 extract_chunk: int = 0) -> float:
     """Grid pairs/sec on the current device, extraction amortized over
     the contents x styles grid. Importable by bench.py."""
     dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
@@ -101,8 +102,22 @@ def measure_grid(crop: int = 512, contents: int = 4, styles: int = 8,
     def run_grid(rng):
         r_e, r_p = jax.random.split(rng)
         # one batched extraction pass over every image in the grid; the
-        # two banks slice it (identical math to separate passes)
-        bank = extract(params, imgs, r_e)
+        # two banks slice it (identical math to separate passes).
+        # extract_chunk > 0 splits extraction into equal chunks — the
+        # HBM-peak knob that unlocks grids whose single-pass extraction
+        # batch OOMs (e.g. 8x8 at 1024px needs b=16; b=12 is the
+        # measured single-pass limit there)
+        if extract_chunk and extract_chunk < imgs.shape[0]:
+            assert imgs.shape[0] % extract_chunk == 0
+            parts = [
+                extract(params, imgs[o : o + extract_chunk], r_e)
+                for o in range(0, imgs.shape[0], extract_chunk)
+            ]
+            bank = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *parts
+            )
+        else:
+            bank = extract(params, imgs, r_e)
         c_bank = jax.tree.map(lambda a: a[:contents], bank)
         s_bank = jax.tree.map(lambda a: a[contents:], bank)
         out = None
@@ -136,6 +151,9 @@ def main():
                     help="disable the in-graph guided filter")
     ap.add_argument("--fast_pool", action="store_true",
                     help="e2_fast_warp_pool serving approximation")
+    ap.add_argument("--extract_chunk", type=int, default=0,
+                    help="split the extraction pass into chunks of this "
+                         "many images (HBM-peak knob for large grids)")
     ap.add_argument("--blockwise", action="store_true",
                     help="fused Pallas blockwise correspondence in the "
                          "pair stage (the 1024px+ grid path: dense corr "
@@ -146,7 +164,7 @@ def main():
         crop=args.crop, contents=args.contents, styles=args.styles,
         pair_batch=args.pair_batch, iters=args.iters, dtype=args.dtype,
         smooth=not args.no_smooth, fast_pool=args.fast_pool,
-        blockwise=args.blockwise,
+        blockwise=args.blockwise, extract_chunk=args.extract_chunk,
     )
     print(json.dumps({
         "metric": f"grid_pairs_per_sec_per_chip_{args.crop}px",
