@@ -107,9 +107,23 @@ class ContentStyleGridGenerationEvaluator(BaseEvaluator):
             [structure_images[n] for n in structure_paths]
         )
         styles = np.concatenate([style_images[n] for n in style_paths])
-        bank = model.grid_extract(
-            jnp.asarray(np.concatenate([contents, styles])).astype(dt)
-        )
+        all_imgs = jnp.asarray(np.concatenate([contents, styles])).astype(dt)
+        # chunk the extraction pass so large folders cannot OOM the HBM
+        # peak (measured: b=16 extraction at 1024px exceeds the 16 GB
+        # chip; b=8 fits — BASELINE.md round 5). ~16 512px-equivalent
+        # images per pass, floor 4.
+        crop = all_imgs.shape[1]
+        chunk = max(4, (16 * 512 * 512) // (crop * crop))
+        if all_imgs.shape[0] > chunk:
+            parts = [
+                model.grid_extract(all_imgs[o : o + chunk])
+                for o in range(0, all_imgs.shape[0], chunk)
+            ]
+            bank = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *parts
+            )
+        else:
+            bank = model.grid_extract(all_imgs)
         c_bank = jax.tree.map(lambda a: a[:n_c], bank)
         s_bank = jax.tree.map(lambda a: a[n_c:], bank)
         contents_dev = jnp.asarray(contents).astype(dt)
