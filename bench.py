@@ -223,11 +223,17 @@ def main():
         try:
             from tools.bench_train import measure_training
 
+            # fused_tap: the differentiable Pallas tap kernel (round 5)
+            # measures d 267/g 787/r1 378 ms vs 279/847/392 composite
+            # -> 7.58 vs 7.02 img/s (+8%); gradient-exactness CI-tested
+            train_dtype = os.environ.get("PPST_BENCH_TRAIN_DTYPE", "bfloat16")
             img_s = measure_training(
                 crop=CROP,
                 batch=train_batch,
                 iters=int(os.environ.get("PPST_BENCH_TRAIN_ITERS", "3")),
-                dtype=os.environ.get("PPST_BENCH_TRAIN_DTYPE", "bfloat16"),
+                dtype=train_dtype,
+                fused_tap=(train_dtype == "bfloat16" and os.environ.get(
+                    "PPST_BENCH_TRAIN_FUSED_TAP", "1") == "1"),
             )
             print(json.dumps({
                 "metric": f"training_images_per_sec_per_chip_{CROP}px_bf16",

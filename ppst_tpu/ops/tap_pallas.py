@@ -371,10 +371,12 @@ def _fused_tap_bwd(interpret, res, g):
     n = float(h * w)
     # smaller row blocks than forward: the middle kernel holds several
     # f32 temporaries of the row block at once
-    # smaller blocks than forward: the middle backward kernel holds
-    # several f32 temporaries of the row block at once
+    # smaller blocks than forward: the backward kernels hold several f32
+    # temporaries of the row block at once (measured: bh=8 at W=512/
+    # Cin=128 overshoots the 16 MB scoped-vmem limit by ~0.8 MB in the
+    # dn1 stage under the training graph)
     bh = min(8, _pick_bh(h, w, cin))
-    if w * cin >= 1024 * 128 and h % 4 == 0:
+    if w * cin >= 512 * 128 and h % 4 == 0:
         bh = 4
     grid = (b, h // bh)
     seq = dict(
