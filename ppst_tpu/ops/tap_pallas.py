@@ -372,12 +372,16 @@ def _fused_tap_bwd(interpret, res, g):
     # smaller row blocks than forward: the middle kernel holds several
     # f32 temporaries of the row block at once
     # smaller blocks than forward: the backward kernels hold several f32
-    # temporaries of the row block at once (measured: bh=8 at W=512/
-    # Cin=128 overshoots the 16 MB scoped-vmem limit by ~0.8 MB in the
-    # dn1 stage under the training graph)
-    bh = min(8, _pick_bh(h, w, cin))
-    if w * cin >= 512 * 128 and h % 4 == 0:
-        bh = 4
+    # temporaries of the row block at once. Budget rule calibrated on
+    # the training graphs: bh*w*cin <= 4*512*128 (bh=8 at W=512/Cin=128
+    # overshoots the 16 MB scoped-vmem limit by ~0.8 MB; bh=4 fits;
+    # W=1024 needs bh=2).
+    target = max(1, (4 * 512 * 128) // (w * cin))
+    bh = 1
+    for cand in (8, 4, 2):
+        if cand <= target and h % cand == 0:
+            bh = cand
+            break
     grid = (b, h // bh)
     seq = dict(
         compiler_params=pltpu.CompilerParams(
